@@ -1,0 +1,191 @@
+"""Transformer encoder stacks.
+
+Two variants are needed for parity with the reference checkpoints:
+
+  * `encoder_stack` — the "annotated transformer" style used by JEGAL
+    (reference models/modules.py:11-131): PRE-norm sublayers with the
+    reference's nonstandard LayerNorm, plus a final LayerNorm.
+
+  * `torch_encoder_stack` — torch `nn.TransformerEncoderLayer`
+    (norm_first=False, relu, d_ff=2048, LN eps 1e-5) used by the GestSync
+    visual tower (reference models/gestsync.py:20-21): POST-norm with
+    standard LayerNorm.
+
+Attention mask semantics follow the reference (models/modules.py:61-75):
+positions where mask == 0 are filled with -1e9 in float32 before softmax.
+
+Parameter pytrees:
+  mha:   {"q": linear, "k": linear, "v": linear, "o": linear}
+  ffn:   {"w1": linear, "w2": linear}
+  layer (pre-norm):  {"attn": mha, "ff": ffn, "norm1": ln, "norm2": ln}
+  stack (pre-norm):  {"layers": [layer...], "norm": ln}
+  layer (torch):     {"attn": mha, "ff": ffn, "norm1": ln, "norm2": ln}
+  stack (torch):     {"layers": [layer...]}
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jegal_tpu.core.layers import (
+    linear,
+    ref_layer_norm,
+    std_layer_norm,
+    init_linear,
+    init_layer_norm,
+)
+
+
+# ---------------------------------------------------------------------------
+# Positional encoding
+# ---------------------------------------------------------------------------
+
+def sinusoidal_position_encoding(max_len: int, d_model: int, dtype=jnp.float32):
+    """Classic sin/cos positional table, shape (max_len, d_model).
+
+    Matches reference models/modules.py:134-148 / models/gestsync.py:171-189.
+    """
+    # computed in float32 end-to-end for bit parity with the reference's
+    # torch-float32 PE tables
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float32) * np.float32(-(math.log(10000.0) / d_model))
+    ).astype(np.float32)
+    pe = np.zeros((max_len, d_model), dtype=np.float32)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return jnp.asarray(pe, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+def _split_heads(x, h: int):
+    b, t, d = x.shape
+    return x.reshape(b, t, h, d // h).transpose(0, 2, 1, 3)  # (B,h,T,dk)
+
+
+def _merge_heads(x):
+    b, h, t, dk = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dk)
+
+
+def masked_attention_weights(scores, mask):
+    """Apply reference mask-fill semantics and softmax in float32.
+
+    scores: (B,h,Tq,Tk); mask broadcastable to it; 0 entries masked out.
+    """
+    scores = scores.astype(jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask == 0, jnp.float32(-1e9), scores)
+    return jax.nn.softmax(scores, axis=-1)
+
+
+def multi_head_attention(params, q_in, k_in, v_in, mask, num_heads: int):
+    """MHA matching reference models/modules.py:88-120.
+
+    mask: None or broadcastable to (B, 1, Tq, Tk) after an internal
+    head-axis unsqueeze — pass (B, 1, Tk), (B, Tq, Tk) or (B, 1, 1, Tk).
+    """
+    dtype = q_in.dtype
+    q = _split_heads(linear(params["q"], q_in), num_heads)
+    k = _split_heads(linear(params["k"], k_in), num_heads)
+    v = _split_heads(linear(params["v"], v_in), num_heads)
+    d_k = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.float32(d_k))
+    if mask is not None:
+        while mask.ndim < 4:
+            mask = mask[:, None]
+    p = masked_attention_weights(scores, mask).astype(dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, v, preferred_element_type=jnp.float32)
+    return linear(params["o"], _merge_heads(out.astype(dtype)))
+
+
+def _ffn(params, x):
+    return linear(params["w2"], jax.nn.relu(linear(params["w1"], x)))
+
+
+# ---------------------------------------------------------------------------
+# Pre-norm stack (JEGAL / annotated-transformer parity)
+# ---------------------------------------------------------------------------
+
+def encoder_layer(params, x, mask, num_heads: int):
+    h = ref_layer_norm(params["norm1"], x)
+    x = x + multi_head_attention(params["attn"], h, h, h, mask, num_heads)
+    h = ref_layer_norm(params["norm2"], x)
+    return x + _ffn(params["ff"], h)
+
+
+def encoder_stack(params, x, mask, num_heads: int):
+    """N pre-norm layers + final reference LayerNorm."""
+    for layer in params["layers"]:
+        x = encoder_layer(layer, x, mask, num_heads)
+    return ref_layer_norm(params["norm"], x)
+
+
+# ---------------------------------------------------------------------------
+# Post-norm stack (torch nn.TransformerEncoder parity, for GestSync)
+# ---------------------------------------------------------------------------
+
+def torch_encoder_layer(params, x, mask, num_heads: int):
+    x = std_layer_norm(
+        params["norm1"],
+        x + multi_head_attention(params["attn"], x, x, x, mask, num_heads),
+    )
+    return std_layer_norm(params["norm2"], x + _ffn(params["ff"], x))
+
+
+def torch_encoder_stack(params, x, mask, num_heads: int):
+    for layer in params["layers"]:
+        x = torch_encoder_layer(layer, x, mask, num_heads)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Initializers
+# ---------------------------------------------------------------------------
+
+def init_mha(key, d_model: int, dtype=jnp.float32):
+    ks = jax.random.split(key, 4)
+    return {
+        "q": init_linear(ks[0], d_model, d_model, dtype),
+        "k": init_linear(ks[1], d_model, d_model, dtype),
+        "v": init_linear(ks[2], d_model, d_model, dtype),
+        "o": init_linear(ks[3], d_model, d_model, dtype),
+    }
+
+
+def init_ffn(key, d_model: int, d_ff: int, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "w1": init_linear(k1, d_model, d_ff, dtype),
+        "w2": init_linear(k2, d_ff, d_model, dtype),
+    }
+
+
+def init_encoder_layer(key, d_model: int, d_ff: int, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "attn": init_mha(k1, d_model, dtype),
+        "ff": init_ffn(k2, d_model, d_ff, dtype),
+        "norm1": init_layer_norm(d_model, dtype),
+        "norm2": init_layer_norm(d_model, dtype),
+    }
+
+
+def init_encoder_stack(key, num_layers: int, d_model: int, d_ff: int,
+                       final_norm: bool = True, dtype=jnp.float32):
+    keys = jax.random.split(key, num_layers)
+    stack = {
+        "layers": [init_encoder_layer(k, d_model, d_ff, dtype) for k in keys],
+    }
+    if final_norm:
+        stack["norm"] = init_layer_norm(d_model, dtype)
+    return stack

@@ -1,0 +1,156 @@
+"""Audio frontend: wav -> log-mel filterbanks, with exact parity to the
+reference (utils/audio_utils.py:11-66) but implemented as pure JAX ops that
+compile to a single fused XLA graph (framing gather -> rfft -> mel matmul).
+
+Reference contract being replicated:
+  * constants: sr=16000, n_fft=512, win=320 (hann), hop=160
+    (utils/audio_utils.py:11-17)
+  * torch.stft semantics: center=True with reflect padding of n_fft//2,
+    window zero-padded symmetrically from win_length to n_fft
+    (utils/audio_utils.py:35-44)
+  * the LAST STFT time-frame is dropped (utils/audio_utils.py:46), so
+    mel_T = num_samples // hop
+  * magnitude (not power) mel with librosa Slaney-scale filters,
+    fmin=0, fmax=sr/2, norm='slaney' (utils/audio_utils.py:50-60)
+  * features = log(mel @ mag + 1e-20), output (B, T, 80)
+    (utils/audio_utils.py:61-63)
+  * wav samples are raw int16 amplitudes cast to float32 (NOT rescaled to
+    [-1, 1]) — reference load_wav/audio loading keeps integer scale.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SAMPLE_RATE = 16000
+N_FFT = 512
+WIN_LENGTH = 320
+HOP_LENGTH = 160
+N_MELS = 80
+
+
+# ---------------------------------------------------------------------------
+# Mel filterbank (librosa parity, Slaney scale + Slaney norm), built on host
+# ---------------------------------------------------------------------------
+
+def _hz_to_mel(f):
+    """Slaney mel scale (librosa htk=False)."""
+    f = np.asarray(f, dtype=np.float64)
+    f_sp = 200.0 / 3.0
+    mels = f / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    f_safe = np.maximum(f, 1e-12)  # avoid log(0) on the unused branch
+    return np.where(
+        f >= min_log_hz, min_log_mel + np.log(f_safe / min_log_hz) / logstep, mels
+    )
+
+
+def _mel_to_hz(m):
+    m = np.asarray(m, dtype=np.float64)
+    f_sp = 200.0 / 3.0
+    freqs = f_sp * m
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(m >= min_log_mel, min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs)
+
+
+@functools.lru_cache(maxsize=4)
+def mel_filterbank(sr: int = SAMPLE_RATE, n_fft: int = N_FFT, n_mels: int = N_MELS,
+                   fmin: float = 0.0, fmax: float | None = None) -> np.ndarray:
+    """Triangular mel filters, shape (n_mels, n_fft//2 + 1), librosa-compatible
+    (Slaney scale, Slaney area normalization)."""
+    if fmax is None:
+        fmax = sr / 2.0
+    fft_freqs = np.linspace(0.0, sr / 2.0, n_fft // 2 + 1)
+    mel_pts = np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2)
+    hz_pts = _mel_to_hz(mel_pts)
+
+    fdiff = np.diff(hz_pts)
+    ramps = hz_pts[:, None] - fft_freqs[None, :]
+
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+
+    # Slaney normalization: equal area per filter.
+    enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
+    weights *= enorm[:, None]
+    return weights.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# STFT (torch.stft parity) and log-mel
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=4)
+def _padded_hann(win_length: int = WIN_LENGTH, n_fft: int = N_FFT) -> np.ndarray:
+    """Periodic Hann of win_length, zero-padded symmetrically to n_fft
+    (torch.stft pads the window this way when win_length < n_fft)."""
+    n = np.arange(win_length, dtype=np.float64)
+    w = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / win_length))
+    left = (n_fft - win_length) // 2
+    out = np.zeros(n_fft, dtype=np.float64)
+    out[left : left + win_length] = w
+    return out.astype(np.float32)
+
+
+def frame_signal(wav, n_fft: int = N_FFT, hop: int = HOP_LENGTH):
+    """Center-pad (reflect) and slice into overlapping frames: (B, T, n_fft),
+    T = 1 + num_samples // hop."""
+    pad = n_fft // 2
+    x = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+    num_frames = 1 + wav.shape[-1] // hop
+    idx = jnp.arange(num_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    return x[:, idx]
+
+
+def stft_magnitude(wav, n_fft: int = N_FFT, hop: int = HOP_LENGTH,
+                   win_length: int = WIN_LENGTH):
+    """|STFT| with torch.stft(center=True, reflect) parity: (B, F, T).
+
+    NOTE: unlike the reference, the last time frame is NOT yet dropped here;
+    `wav2filterbanks` handles that (parity with utils/audio_utils.py:46).
+    """
+    window = jnp.asarray(_padded_hann(win_length, n_fft))
+    frames = frame_signal(wav, n_fft, hop) * window
+    spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+    return jnp.abs(spec).transpose(0, 2, 1)  # (B, F, T)
+
+
+def wav2filterbanks(wav, mel_basis=None):
+    """wav (B, S) float32 (raw int16 scale) -> log-mel features (B, T, 80).
+
+    T = S // hop (the final STFT frame is dropped, reference parity).
+    """
+    if mel_basis is None:
+        mel_basis = jnp.asarray(mel_filterbank())
+    mag = stft_magnitude(wav)[:, :, :-1]  # drop last time frame
+    feats = jnp.log(
+        jnp.einsum("mf,bft->bmt", mel_basis, mag, preferred_element_type=jnp.float32)
+        + 1e-20
+    )
+    return feats.transpose(0, 2, 1)  # (B, T, n_mels)
+
+
+def load_wav(path: str) -> np.ndarray:
+    """Load a wav file as float32 at raw int16 amplitude scale (reference
+    utils/audio_utils.py:20-25 parity: scipy read, no rescaling)."""
+    from scipy.io import wavfile
+
+    _, wav = wavfile.read(path)
+    if wav.ndim > 1:
+        wav = wav[:, 0]
+    return np.asarray(wav, dtype=np.float32)
+
+
+def audio_token_mask(mel_t: int) -> np.ndarray:
+    """audio_mask = ones(mel_T // 4): one mask entry per 25 Hz audio token
+    (reference inference_embs.py:470)."""
+    return np.ones((mel_t // 4,), dtype=np.float32)
