@@ -1,0 +1,217 @@
+"""GestSync visual tower (frozen feature extractor), TPU-native.
+
+Replicates the reference model (models/gestsync.py:7-162) — a 6-block 3-D VGG
+over 25-frame masked RGB clips, sinusoidal PE, a 6-layer post-norm torch
+TransformerEncoder (d=512, h=8), and a 512->512->1024 head — but re-designed
+for XLA/TPU:
+
+  * channels-last NDHWC layout end-to-end (MXU-friendly),
+  * **shared-conv windowing**: the reference recomputes the full conv tower
+    for every sliding 25-frame window (stride 1, batches of 48 —
+    inference_embs.py:488-516). Because every temporal conv is stride 1 and
+    only block 1 has a temporal extent (k_t=5; blocks 2-6 have k_t=1), the
+    conv tower is translation-equivariant in time: computing it ONCE over the
+    whole (T+24)-frame padded sequence yields exactly the per-window conv
+    tokens, shared across overlapping windows (~25x fewer conv FLOPs).
+    Window w over frames [w, w+25) corresponds to conv tokens [w, w+21).
+  * the per-window transformer+head then runs batched over all T windows of
+    21 tokens at once,
+  * temporal chunking (static shapes) bounds conv activation memory so
+    minutes-long videos never materialize a (T, 88, 158, 64) tensor.
+
+Input contract (reference inference_embs.py:235-283):
+  frames: (T_pad, 270, 480, 3) float32 in [0, 1], already masked and
+  edge-padded +/-12 frames by the caller; T_pad = T + 24.
+Output: (T, 1024) GestSync features, one per original frame.
+
+The audio branch / LSTM of the reference checkpoint exist only for
+state-dict compatibility and are not used in this pipeline
+(reference models/gestsync.py:23-32); the converter simply skips them.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jegal_tpu.core.layers import (
+    batch_norm_inference,
+    conv3d,
+    linear,
+    max_pool3d,
+)
+from jegal_tpu.core.transformer import (
+    sinusoidal_position_encoding,
+    torch_encoder_stack,
+)
+from jegal_tpu.convert.torch_import import (
+    batch_norm_from_torch,
+    conv3d_from_torch,
+    linear_from_torch,
+    torch_encoder_stack_from_torch,
+    strip_module_prefix,
+)
+
+# (kernel, stride, padding, maxpool) per VGG block — reference
+# models/gestsync.py:34-87. Channels: 3->64->128->256->256->256->512.
+VGG_SPEC = (
+    dict(k=(5, 7, 7), s=(1, 3, 3), p=(0, 0, 0), mp=((1, 3, 3), (1, 2, 2))),
+    dict(k=(1, 5, 5), s=(1, 2, 2), p=(0, 0, 0), mp=None),
+    dict(k=(1, 3, 3), s=(1, 2, 2), p=(0, 1, 1), mp=None),
+    dict(k=(1, 3, 3), s=(1, 1, 2), p=(0, 1, 1), mp=None),
+    dict(k=(1, 3, 3), s=(1, 1, 1), p=(0, 1, 1), mp=((1, 3, 3), (1, 2, 2))),
+    dict(k=(1, 4, 4), s=(1, 1, 1), p=(0, 0, 0), mp=None),  # fc3d block
+)
+
+WINDOW = 25          # frames per sync window (inference_embs.py:488)
+TOKENS = 21          # conv tokens per window: 25 - (5-1)
+EDGE_PAD = 12        # caller edge-pads +/-12 frames (inference_embs.py:283)
+NUM_HEADS = 8
+D_MODEL = 512
+D_OUT = 1024
+
+
+def vgg_tower(params, x):
+    """6-block conv3d tower. x: (B, D, H, W, C) -> (B, D-4, 1, 1, 512)."""
+    for spec, blk in zip(VGG_SPEC, params["net_vid"]):
+        x = conv3d(blk["conv"], x, stride=spec["s"], padding=spec["p"])
+        x = batch_norm_inference(blk["bn"], x)
+        x = jax.nn.relu(x)
+        if spec["mp"] is not None:
+            x = max_pool3d(x, kernel=spec["mp"][0], stride=spec["mp"][1])
+    return x
+
+
+def conv_tokens(params, frames, chunk: int = 32):
+    """Run the conv tower once over the full padded sequence.
+
+    frames: (T_pad, H, W, 3) -> tokens (T_pad - 4, 512).
+
+    Time is processed in static chunks with a 4-frame halo (block 1 has
+    k_t=5, all temporal strides are 1), so activation memory is bounded
+    regardless of video length while remaining numerically identical to the
+    single-pass conv.
+    """
+    t_pad = frames.shape[0]
+    t_out = t_pad - 4
+    num_chunks = -(-t_out // chunk)
+    # pad the tail so every chunk is full-size (outputs beyond t_out dropped)
+    pad_to = num_chunks * chunk + 4
+    frames = jnp.pad(frames, ((0, pad_to - t_pad), (0, 0), (0, 0), (0, 0)))
+
+    starts = jnp.arange(num_chunks) * chunk
+
+    def one_chunk(start):
+        piece = jax.lax.dynamic_slice_in_dim(frames, start, chunk + 4, axis=0)
+        out = vgg_tower(params, piece[None])  # (1, chunk, 1, 1, 512)
+        return out[0, :, 0, 0, :]
+
+    toks = jax.lax.map(one_chunk, starts)  # (num_chunks, chunk, 512)
+    return toks.reshape(-1, D_MODEL)[:t_out]
+
+
+def window_head(params, tokens, batch: int | None = None):
+    """Per-window transformer + head over sliding 21-token windows.
+
+    tokens: (T + 20, 512) conv tokens of a T-frame (pre-pad) video
+    -> (T, 1024) features (mean over the 21 per-window head outputs,
+    reference inference_embs.py:510-511).
+    """
+    t = tokens.shape[0] - (TOKENS - 1)
+    idx = jnp.arange(t)[:, None] + jnp.arange(TOKENS)[None, :]
+    wins = tokens[idx]  # (T, 21, 512)
+    pe = sinusoidal_position_encoding(50, D_MODEL, tokens.dtype)[:TOKENS]
+    wins = wins + pe[None]
+
+    def head(w):
+        h = torch_encoder_stack(params["transformer"], w, None, NUM_HEADS)
+        h = linear(params["ff1"], h)
+        h = jax.nn.relu(h)
+        h = linear(params["ff2"], h)  # (b, 21, 1024)
+        return jnp.mean(h, axis=1)
+
+    if batch is None:
+        return head(wins)
+    # bound memory for very long videos: static-size batches via lax.map
+    nb = -(-t // batch)
+    wins = jnp.pad(wins, ((0, nb * batch - t), (0, 0), (0, 0)))
+    out = jax.lax.map(head, wins.reshape(nb, batch, TOKENS, D_MODEL))
+    return out.reshape(-1, D_OUT)[:t]
+
+
+def extract_features(params, frames, chunk: int = 32):
+    """Full GestSync feature path: padded masked frames -> (T, 1024).
+
+    frames: (T + 24, 270, 480, 3) float32 in [0,1] (edge-padded by caller).
+    """
+    tokens = conv_tokens(params, frames, chunk=chunk)  # (T + 20, 512)
+    return window_head(params, tokens)  # (T, 1024)
+
+
+def forward_vid_windowed(params, clips):
+    """Reference-exact per-window path: clips (B, 25, 270, 480, 3) ->
+    (B, 1024, 21) like reference forward_vid (models/gestsync.py:148-162).
+    Used for parity tests and as the semantics oracle of the shared-conv path.
+    """
+    x = vgg_tower(params, clips)  # (B, 21, 1, 1, 512)
+    x = x[:, :, 0, 0, :]  # (B, 21, 512)
+    pe = sinusoidal_position_encoding(50, D_MODEL, x.dtype)[: x.shape[1]]
+    x = x + pe[None]
+    x = torch_encoder_stack(params["transformer"], x, None, NUM_HEADS)
+    x = linear(params["ff1"], x)
+    x = jax.nn.relu(x)
+    x = linear(params["ff2"], x)
+    return x.transpose(0, 2, 1)  # (B, 1024, 21)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint conversion
+# ---------------------------------------------------------------------------
+
+def params_from_torch(sd, dtype=jnp.float32):
+    """Convert the reference GestSync state_dict (DataParallel-prefixed torch
+    .pth, reference inference_embs.py:92-119) to our pytree. The unused audio
+    tower / LSTM / logits_scale entries are skipped."""
+    sd = strip_module_prefix(sd)
+    net_vid = []
+    for i in range(1, 7):
+        name = "fc6" if i == 6 else f"conv{i}"
+        net_vid.append({
+            "conv": conv3d_from_torch(sd, f"net_vid.{name}", dtype),
+            "bn": batch_norm_from_torch(sd, f"net_vid.bn{i}", dtype),
+        })
+    return {
+        "net_vid": net_vid,
+        "transformer": torch_encoder_stack_from_torch(
+            sd, "transformer_encoder", 6, dtype
+        ),
+        "ff1": linear_from_torch(sd, "ff_vid.0", dtype),
+        "ff2": linear_from_torch(sd, "ff_vid.2", dtype),
+    }
+
+
+def init_params(key, dtype=jnp.float32):
+    """Random init with the right shapes (tests / from-scratch training)."""
+    from jegal_tpu.core.layers import init_conv, init_batch_norm, init_linear
+    from jegal_tpu.core.transformer import init_encoder_layer
+
+    channels = (3, 64, 128, 256, 256, 256, 512)
+    keys = jax.random.split(key, 16)
+    net_vid = []
+    for i, spec in enumerate(VGG_SPEC):
+        kshape = spec["k"] + (channels[i], channels[i + 1])
+        net_vid.append({
+            "conv": init_conv(keys[i], kshape, dtype),
+            "bn": init_batch_norm(channels[i + 1], dtype),
+        })
+    layers = [init_encoder_layer(keys[6 + i], D_MODEL, 2048, dtype) for i in range(6)]
+    return {
+        "net_vid": net_vid,
+        "transformer": {"layers": layers},
+        "ff1": init_linear(keys[12], 512, 512, dtype),
+        "ff2": init_linear(keys[13], 512, 1024, dtype),
+    }

@@ -1,0 +1,84 @@
+"""GestSync visual tower: parity vs the reference torch model, and
+equivalence of the shared-conv windowing redesign vs the reference's
+per-window recompute."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from jegal_tpu.models import gestsync as G
+
+from oracles import reference_available, ref_gestsync, to_numpy
+
+
+def _randomize_bn(model):
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.BatchNorm3d)):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.5, 0.5)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_forward_vid_parity(rng):
+    """One 25-frame window through the full tower vs reference forward_vid."""
+    gm = ref_gestsync()
+    ref = gm.GestSync().eval()
+    _randomize_bn(ref)
+
+    clip = rng.random((1, 3, G.WINDOW, 270, 480), dtype=np.float64).astype(np.float32)
+    with torch.no_grad():
+        want = to_numpy(ref.forward_vid(torch.from_numpy(clip)))  # (1, 1024, 21)
+
+    params = G.params_from_torch(ref.state_dict())
+    clip_j = jnp.asarray(clip.transpose(0, 2, 3, 4, 1))  # NDHWC
+    got = np.asarray(G.forward_vid_windowed(params, clip_j))
+
+    assert got.shape == want.shape == (1, 1024, 21)
+    # deep conv stack in fp32: allow small accumulation drift
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+    # and the windowed mean (the actual feature the pipeline consumes,
+    # reference inference_embs.py:510-511)
+    np.testing.assert_allclose(
+        got.mean(axis=-1), want.mean(axis=-1), rtol=1e-3, atol=1e-3
+    )
+
+
+@pytest.mark.slow
+def test_shared_conv_equals_per_window(rng):
+    """The shared-conv fast path must produce the same features as running the
+    conv tower independently per sliding window (the reference's algorithm)."""
+    import jax
+
+    params = G.init_params(jax.random.PRNGKey(0))
+    t = 3  # original frames -> T_pad = 27, 3 windows
+    frames = jnp.asarray(
+        rng.random((t + 2 * G.EDGE_PAD, 270, 480, 3), dtype=np.float64).astype(np.float32)
+    )
+
+    fast = np.asarray(G.extract_features(params, frames, chunk=8))
+    assert fast.shape == (t, 1024)
+
+    # reference algorithm: stack each 25-frame window, forward, mean tokens
+    wins = jnp.stack([frames[i : i + G.WINDOW] for i in range(t)])  # (t,25,H,W,3)
+    slow = np.asarray(G.forward_vid_windowed(params, wins).mean(axis=-1))
+
+    np.testing.assert_allclose(fast, slow, rtol=2e-4, atol=2e-4)
+
+
+def test_window_head_shapes(rng):
+    """window_head batching path (lax.map) must equal the unbatched path."""
+    import jax
+
+    params = G.init_params(jax.random.PRNGKey(1))
+    tokens = jnp.asarray(rng.standard_normal((37 + 20, 512)).astype(np.float32))
+    full = np.asarray(G.window_head(params, tokens))
+    batched = np.asarray(G.window_head(params, tokens, batch=16))
+    assert full.shape == (37, 1024)
+    np.testing.assert_allclose(full, batched, rtol=1e-5, atol=1e-5)
