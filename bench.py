@@ -1,0 +1,104 @@
+"""Benchmark: end-to-end vta embedding extraction throughput on one chip.
+
+Workload: one "video" = 5 s @ 25 fps (T=125 frames) — the full device path
+the reference runs per clip (inference_embs.py extract_embs): GestSync
+features from masked frames (the conv-FLOPs hot spot, here via the
+shared-conv windowed tower) + the JEGAL tri-modal forward (gesture encoder,
+XLM-R text branch, audio CNN, word pooling, fusion), bf16 compute.
+
+vs_baseline: the same jitted pipeline timed on the host CPU backend
+(the reference has no published numbers — BASELINE.md; the driver's north
+star is >=10x CPU-baseline videos/sec). The CPU measurement uses a T=25
+clip and scales by 5x (conv FLOPs are linear in T; this *under*-estimates
+CPU time, making the reported speedup conservative).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build(dtype, t_frames: int, rng):
+    from jegal_tpu.models import gestsync as G
+    from jegal_tpu.models import jegal as J
+    import __graft_entry__ as E
+
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    gparams = jax.tree.map(lambda x: x.astype(dtype), G.init_params(k1))
+    jparams, rparams, cfg = E._models(k2, roberta_layers=4, vocab=512)
+    jparams = jax.tree.map(lambda x: x.astype(dtype), jparams)
+    rparams = jax.tree.map(lambda x: x.astype(dtype), rparams)
+
+    frames = jnp.asarray(
+        rng.random((t_frames + 24, 270, 480, 3), dtype=np.float32), dtype)
+    batch = E._example_batch(rng, b=1, t=t_frames, s=32, w=16,
+                             mel=4 * t_frames, vocab=512)
+    batch = {k: (v.astype(dtype) if v.dtype in (jnp.float32,) else v)
+             for k, v in batch.items()}
+
+    def pipeline(gp, jp, rp, frames, input_ids, text_mask, text_pool,
+                 audio_mel, audio_pool):
+        feats = G.extract_features(gp, frames, chunk=32)  # (T, 1024)
+        vmask = jnp.ones((1, feats.shape[0]), dtype)
+        return J.forward_inference(
+            jp, rp, use_v=True, use_t=True, use_a=True,
+            visual_feats=feats[None], visual_mask=vmask,
+            input_ids=input_ids, text_mask=text_mask, text_pool=text_pool,
+            audio_mel=audio_mel, audio_pool=audio_pool, roberta_cfg=cfg)
+
+    args = (gparams, jparams, rparams, frames, batch["input_ids"],
+            batch["text_mask"], batch["text_pool"], batch["audio_mel"],
+            batch["audio_pool"])
+    return jax.jit(pipeline), args
+
+
+def timed(fn, args, iters: int, device=None):
+    if device is not None:
+        args = jax.tree.map(lambda x: jax.device_put(x, device), args)
+    out = fn(*args)  # compile
+    np.asarray(out[1])  # sync via host fetch (the experimental axon
+    # platform's block_until_ready does not actually block)
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    np.asarray(out[1])
+    return (time.perf_counter() - start) / iters
+
+
+def main():
+    rng = np.random.default_rng(0)
+    t_video = 125  # 5 s @ 25 fps
+
+    # --- accelerator run (bf16, real chip) ---
+    fn, args = build(jnp.bfloat16, t_video, rng)
+    accel = jax.devices()[0]
+    iters = 10
+    sec_per_video = timed(fn, args, iters, device=accel)
+    vps = 1.0 / sec_per_video
+
+    # --- CPU baseline (same pipeline, T=25, scaled by 5) ---
+    cpu = jax.devices("cpu")[0]
+    t_small = 25
+    fn_c, args_c = build(jnp.float32, t_small, rng)
+    sec_small = timed(fn_c, args_c, 1, device=cpu)
+    cpu_sec_per_video = sec_small * (t_video / t_small)
+    cpu_vps = 1.0 / cpu_sec_per_video
+
+    print(json.dumps({
+        "metric": "vta embedding extraction throughput (5s 25fps clips, "
+                  "GestSync + JEGAL, bf16, single chip)",
+        "value": round(vps, 3),
+        "unit": "videos/sec",
+        "vs_baseline": round(vps / cpu_vps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

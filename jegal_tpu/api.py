@@ -1,0 +1,244 @@
+"""JegalEngine — the end-to-end embedding extraction engine.
+
+Mirrors the public behavior of the reference drivers (inference_embs.py
+extract_embs :526-646 and evaluation/extract_jegal_embs.py :56-125): given
+any of the seven modality combos (vta/vt/va/ta/v/t/a), produce L2-normalized
+`gesture_emb (T, 512)` and/or `content_emb (W, 512)` plus the `.pkl` info
+dict. Unlike the reference, all seven combos actually work (the shipped
+script crashes on several — SURVEY.md §2.9 defect 4); outputs for the
+working paths are numerically parity-matched.
+
+TPU design:
+  * each (combo, shape-bucket) pair jits once; ragged inputs are padded to
+    buckets with exactly-neutral masking/pooling (zero pooling rows, masked
+    attention, zero-padded mel — all verified neutral in tests),
+  * the GestSync tower runs the shared-conv windowed path (25x fewer conv
+    FLOPs than the reference's per-window batching),
+  * the XLM-R forward and word pooling are on-device (the reference runs
+    them on host CPU / in Python loops).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import pickle
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jegal_tpu.data.bucketing import (
+    MEL_BUCKETS,
+    S_BUCKETS,
+    T_BUCKETS,
+    W_BUCKETS,
+    next_bucket,
+    pad_axis,
+)
+from jegal_tpu.models import gestsync as G
+from jegal_tpu.models import jegal as J
+from jegal_tpu.models import roberta as R
+from jegal_tpu.ops import pooling as P
+from jegal_tpu.ops.audio import wav2filterbanks
+from jegal_tpu.text.normalize import load_text
+
+
+def l2_normalize(x, axis=-1, eps=1e-12):
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(n, eps)
+
+
+@dataclass
+class JegalEngine:
+    """Holds parameters + tokenizer and serves bucketed, jitted forwards."""
+
+    jegal_params: Any
+    roberta_params: Any = None
+    gestsync_params: Any = None
+    tokenizer: Any = None                      # jegal_tpu.text.tokenizer.WordTokenizer
+    roberta_cfg: R.RobertaConfig = field(default_factory=lambda: R.XLMR_BASE)
+    transcriber: Callable | None = None        # optional ASR backend (wav -> transcript file)
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        self._combo_cache: dict = {}
+        self._gestsync_fn = None
+
+    # ------------------------------------------------------------------
+    # Visual features (GestSync)
+    # ------------------------------------------------------------------
+
+    def gestsync_features(self, masked_frames: np.ndarray) -> np.ndarray:
+        """masked_frames: (T + 24, 270, 480, 3) float32 [0,1] (already
+        face-masked and edge-padded +/-12) -> (T, 1024)."""
+        if self.gestsync_params is None:
+            raise RuntimeError("engine has no GestSync parameters")
+        t = masked_frames.shape[0] - 2 * G.EDGE_PAD
+        t_bucket = next_bucket(t, T_BUCKETS)
+        frames = pad_axis(masked_frames, 0, t_bucket + 2 * G.EDGE_PAD)
+        if self._gestsync_fn is None:
+            self._gestsync_fn = jax.jit(
+                functools.partial(G.extract_features, chunk=32)
+            )
+        feats = self._gestsync_fn(self.gestsync_params, jnp.asarray(frames, self.dtype))
+        return np.asarray(feats[:t])
+
+    # ------------------------------------------------------------------
+    # Core forward (jitted per combo+bucket)
+    # ------------------------------------------------------------------
+
+    def _forward(self, combo_key, arrays):
+        if combo_key not in self._combo_cache:
+            use_v, use_t, use_a = combo_key[:3]
+
+            def fn(jp, rp, **kw):
+                return J.forward_inference(
+                    jp, rp, use_v=use_v, use_t=use_t, use_a=use_a,
+                    roberta_cfg=self.roberta_cfg, **kw,
+                )
+
+            self._combo_cache[combo_key] = jax.jit(fn)
+        return self._combo_cache[combo_key](
+            self.jegal_params, self.roberta_params, **arrays
+        )
+
+    # ------------------------------------------------------------------
+    # Host-side preparation per modality
+    # ------------------------------------------------------------------
+
+    def prepare_text(self, text: str):
+        """-> (arrays dict, num_words) with bucket padding; None if the
+        sample is invalid under reference rules (tokenizer/word mismatch)."""
+        if self.tokenizer is None:
+            raise RuntimeError("engine has no tokenizer (text modality)")
+        batch = self.tokenizer.encode_words([text])
+        s_nat = batch.input_ids.shape[1]
+        starts = P.text_word_starts(batch.input_ids, batch.offsets, batch.special_ids)
+        n_words = len(batch.words[0])
+        w_bucket = next_bucket(max(n_words, 1), W_BUCKETS)
+        pool, valid, _ = P.build_text_pooling(starts, [n_words], s_nat, w_bucket)
+        if not valid[0]:
+            return None, 0
+        s_bucket = next_bucket(s_nat, S_BUCKETS)
+        ids = pad_axis(batch.input_ids, 1, s_bucket, value=self.tokenizer.pad_id)
+        mask = pad_axis(batch.attention_mask, 1, s_bucket)
+        pool = pad_axis(pool, 2, s_bucket)
+        return {
+            "input_ids": jnp.asarray(ids, jnp.int32),
+            "text_mask": jnp.asarray(mask, jnp.float32),
+            "text_pool": jnp.asarray(pool, self.dtype),
+        }, n_words
+
+    def prepare_audio(self, wav: np.ndarray, word_boundaries):
+        """wav: (S,) float32 raw int16 scale -> (arrays dict, num_words)."""
+        mel = np.asarray(wav2filterbanks(jnp.asarray(wav, jnp.float32)[None]))
+        t_mel = mel.shape[1]
+        t_audio = t_mel // 4
+        n_words = len(word_boundaries)
+        w_bucket = next_bucket(max(n_words, 1), W_BUCKETS)
+        pool, valid, _ = P.build_audio_pooling([word_boundaries], t_audio, w_bucket)
+        if not valid[0]:
+            return None, 0
+        mel_bucket = next_bucket(t_mel, MEL_BUCKETS)
+        mel = pad_axis(mel, 1, mel_bucket)
+        pool = pad_axis(pool, 2, mel_bucket // 4)
+        return {
+            "audio_mel": jnp.asarray(mel, self.dtype),
+            "audio_pool": jnp.asarray(pool, self.dtype),
+        }, n_words
+
+    def prepare_visual(self, visual_feats: np.ndarray):
+        """visual_feats: (T, 1024) GestSync features -> arrays dict."""
+        t = visual_feats.shape[0]
+        t_bucket = next_bucket(t, T_BUCKETS)
+        feats = pad_axis(visual_feats[None], 1, t_bucket)
+        mask = np.zeros((1, t_bucket), np.float32)
+        mask[0, :t] = 1.0
+        return {
+            "visual_feats": jnp.asarray(feats, self.dtype),
+            "visual_mask": jnp.asarray(mask, jnp.float32),
+        }, t
+
+    # ------------------------------------------------------------------
+    # Public extraction API
+    # ------------------------------------------------------------------
+
+    def extract(
+        self,
+        modalities: str = "vta",
+        visual_feats: np.ndarray | None = None,
+        text: str | None = None,
+        word_boundaries: list | None = None,
+        wav: np.ndarray | None = None,
+        fname: str | None = None,
+    ) -> dict | None:
+        """-> {"gesture_emb": (T,512) | None, "content_emb": (W,512) | None,
+        "info": {...}} with L2-normalized float32 numpy embeddings
+        (reference .pkl schema, inference_embs.py:629-646).
+
+        Returns None when the sample is invalid under reference rules.
+        """
+        use_v = "v" in modalities
+        use_t = "t" in modalities
+        use_a = "a" in modalities
+        arrays: dict = {}
+        t_true = w_true = None
+
+        if use_v:
+            if visual_feats is None:
+                raise ValueError("modality 'v' requires visual_feats")
+            va, t_true = self.prepare_visual(np.asarray(visual_feats))
+            arrays.update(va)
+        if use_t:
+            if text is None:
+                raise ValueError("modality 't' requires text")
+            ta, n_words = self.prepare_text(text)
+            if ta is None:
+                return None
+            arrays.update(ta)
+            w_true = n_words
+        if use_a:
+            if wav is None or word_boundaries is None:
+                raise ValueError("modality 'a' requires wav and word_boundaries")
+            aa, n_words = self.prepare_audio(np.asarray(wav), word_boundaries)
+            if aa is None:
+                return None
+            arrays.update(aa)
+            w_true = n_words if w_true is None else w_true
+
+        # align text/audio word-bucket if both present
+        if use_t and use_a:
+            wt = arrays["text_pool"].shape[1]
+            wa = arrays["audio_pool"].shape[1]
+            w = max(wt, wa)
+            arrays["text_pool"] = jnp.asarray(
+                pad_axis(np.asarray(arrays["text_pool"]), 1, w), self.dtype)
+            arrays["audio_pool"] = jnp.asarray(
+                pad_axis(np.asarray(arrays["audio_pool"]), 1, w), self.dtype)
+
+        gesture, content = self._forward((use_v, use_t, use_a), arrays)
+
+        out_g = out_c = None
+        if gesture is not None:
+            out_g = np.asarray(l2_normalize(gesture)[0, :t_true], np.float32)
+        if content is not None:
+            out_c = np.asarray(l2_normalize(content)[0, :w_true], np.float32)
+        info = {
+            "fname": fname,
+            "word_boundaries": word_boundaries,
+            "text": text,
+        }
+        return {"gesture_emb": out_g, "content_emb": out_c, "info": info}
+
+    def extract_to_pkl(self, res_dir: str, **kw) -> str | None:
+        feats = self.extract(**kw)
+        if feats is None:
+            return None
+        os.makedirs(res_dir, exist_ok=True)
+        out = os.path.join(res_dir, (feats["info"]["fname"] or "sample") + ".pkl")
+        with open(out, "wb") as f:
+            pickle.dump(feats, f)
+        return out

@@ -1,0 +1,361 @@
+"""jegal_tpu command-line drivers.
+
+Subcommands map 1:1 to the reference's public scripts (README.md:78-161):
+
+  infer           <- inference_embs.py       (single sample, 7 modality combos)
+  extract-feats   <- preprocess/extract_gestsync_feats.py  (CSV -> .npy bank)
+  extract-embs    <- evaluation/extract_jegal_embs.py      (CSV -> .pkl dir)
+  eval-retrieval  <- evaluation/evaluate_retrieval.py
+  eval-spotting   <- evaluation/evaluate_spotting.py
+  eval-asd        <- evaluation/evaluate_asd.py
+  heatmap         <- utils/plot_heatmap.py
+  preprocess      <- preprocess/inference_preprocess.py    (speaker tracks)
+  convert         (new) torch .pth / HF -> native .npz pytrees
+  transcribe      <- utils/extract_transcripts_whisperx.py (pluggable ASR)
+
+Unlike the reference, all seven modality combos of `infer` work
+(SURVEY.md §2.9 defect 4), and eval subcommands emit machine-readable JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_infer(sub):
+    p = sub.add_parser("infer", help="extract JEGAL embeddings for one sample")
+    p.add_argument("--checkpoint_path_gestsync", type=str, default=None)
+    p.add_argument("--checkpoint_path_jegal", type=str, required=True)
+    p.add_argument("--roberta_path", type=str, default=None,
+                   help="HF xlm-roberta-base checkpoint (dir/.bin/.safetensors) or .npz")
+    p.add_argument("--tokenizer_path", type=str, default=None,
+                   help="tokenizers-format tokenizer.json (xlm-roberta-base)")
+    p.add_argument("--modalities", type=str, default="vta",
+                   choices=["vta", "vt", "va", "ta", "v", "t", "a"])
+    p.add_argument("--video_path", type=str, default=None)
+    p.add_argument("--text_path", type=str, default=None)
+    p.add_argument("--audio_path", type=str, default=None)
+    p.add_argument("--res_dir", type=str, default="results")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (MXU fast path)")
+
+
+def _add_common_eval(sub, name, help_):
+    p = sub.add_parser(name, help=help_)
+    p.add_argument("--path", type=str, required=True,
+                   help="directory of extracted .pkl embeddings")
+    return p
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(
+        prog="jegal_tpu", description="TPU-native JEGAL framework")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    _add_infer(sub)
+
+    p = sub.add_parser("extract-feats",
+                       help="GestSync visual features for a CSV of videos")
+    p.add_argument("--file_path", required=True, help="CSV with filename column")
+    p.add_argument("--video_dir", required=True)
+    p.add_argument("--res_dir", required=True)
+    p.add_argument("--checkpoint_path", required=True)
+    p.add_argument("--rank", type=int, default=0)
+    p.add_argument("--nshard", type=int, default=1)
+    p.add_argument("--bf16", action="store_true")
+
+    p = sub.add_parser("extract-embs",
+                       help="JEGAL embeddings for a CSV (batch)")
+    p.add_argument("--file_path", required=True)
+    p.add_argument("--checkpoint_path", required=True)
+    p.add_argument("--roberta_path", default=None)
+    p.add_argument("--tokenizer_path", default=None)
+    p.add_argument("--res_dir", required=True)
+    p.add_argument("--video_dir", required=True)
+    p.add_argument("--feature_dir", required=True)
+    p.add_argument("--modalities", default="vta",
+                   choices=["vta", "vt", "va", "ta", "v", "t", "a"])
+    p.add_argument("--rank", type=int, default=0)
+    p.add_argument("--nshard", type=int, default=1)
+    p.add_argument("--bf16", action="store_true")
+
+    _add_common_eval(sub, "eval-retrieval", "AVS-Ret cross-modal retrieval")
+
+    p = _add_common_eval(sub, "eval-spotting", "AVS-Spot word spotting")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--frame_threshold", type=int, default=9)
+
+    p = _add_common_eval(sub, "eval-asd", "AVS-Asd active speaker detection")
+    p.add_argument("--file", type=str, required=True, help="AVS-Asd CSV")
+
+    p = sub.add_parser("heatmap", help="word-frame attention heatmap")
+    p.add_argument("--path", required=True, help=".pkl embedding file")
+    p.add_argument("--fname", default="heatmap")
+
+    p = sub.add_parser("preprocess",
+                       help="speaker detect/track/crop a raw video")
+    p.add_argument("--video_file", required=True)
+    p.add_argument("--preprocessed_root", required=True)
+    p.add_argument("--fps", type=float, default=25.0)
+    p.add_argument("--sample_rate", type=int, default=16000)
+
+    p = sub.add_parser("convert", help="convert checkpoints to native .npz")
+    p.add_argument("--model", required=True,
+                   choices=["gestsync", "jegal", "roberta"])
+    p.add_argument("--src", required=True)
+    p.add_argument("--dst", required=True)
+
+    p = sub.add_parser("transcribe",
+                       help="word-boundary transcription (pluggable ASR)")
+    p.add_argument("--audio_path", required=True)
+    p.add_argument("--res_dir", default="results")
+
+    return ap
+
+
+def _load_engine(args, need_gestsync=False):
+    import jax.numpy as jnp
+
+    from jegal_tpu.api import JegalEngine
+    from jegal_tpu.convert import checkpoints as C
+
+    dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
+    jegal_params = C.load_jegal(args.checkpoint_path_jegal
+                                if hasattr(args, "checkpoint_path_jegal")
+                                else args.checkpoint_path)
+    roberta_params = None
+    roberta_cfg = None
+    if getattr(args, "roberta_path", None):
+        roberta_params, roberta_cfg = C.load_roberta(args.roberta_path)
+    gestsync_params = None
+    gs_path = getattr(args, "checkpoint_path_gestsync", None)
+    if gs_path:
+        gestsync_params = C.load_gestsync(gs_path)
+    elif need_gestsync:
+        raise SystemExit("--checkpoint_path_gestsync is required for modality 'v'")
+    tokenizer = None
+    if getattr(args, "tokenizer_path", None):
+        from jegal_tpu.text.tokenizer import WordTokenizer
+
+        tokenizer = WordTokenizer.from_file(args.tokenizer_path)
+    kw = {}
+    if roberta_cfg is not None:
+        kw["roberta_cfg"] = roberta_cfg
+    return JegalEngine(
+        jegal_params=jegal_params,
+        roberta_params=roberta_params,
+        gestsync_params=gestsync_params,
+        tokenizer=tokenizer,
+        dtype=dtype,
+        **kw,
+    )
+
+
+def cmd_infer(args):
+    from jegal_tpu.text.normalize import load_text
+
+    # modality-specific input validation (reference inference_embs.py:649-667)
+    if "v" in args.modalities and args.video_path is None:
+        raise SystemExit("--video_path must be specified for modality 'v'")
+    if "a" in args.modalities and args.audio_path is None:
+        raise SystemExit("--audio_path must be specified for modality 'a'")
+    if "t" in args.modalities and args.text_path is None and args.audio_path is None:
+        raise SystemExit("for modality 't', specify --text_path or --audio_path "
+                         "(text can be transcribed from audio)")
+
+    engine = _load_engine(args, need_gestsync="v" in args.modalities)
+
+    text = word_boundaries = wav = visual_feats = None
+    fname = None
+
+    if "v" in args.modalities:
+        from jegal_tpu.host import masking, media
+
+        frames, _ = media.decode_video(args.video_path, target_fps=0.0)
+        print(f"Input video frames: {frames.shape}")
+        keypoints = _try_keypoints(frames)
+        if not masking.check_visible_gestures(keypoints):
+            print("The gestures in the input video are not visible! "
+                  "Please give a video with visible gestures as input.")
+            sys.exit(0)
+        masked = masking.mask_frames(frames, keypoints)
+        print("Extracting GestSync features...")
+        visual_feats = engine.gestsync_features(masked)
+        fname = os.path.basename(args.video_path).split(".")[0]
+
+    if "t" in args.modalities and args.text_path is not None:
+        text, wbs = load_text(args.text_path)
+        word_boundaries = wbs
+        fname = fname or os.path.basename(args.text_path).split(".")[0]
+
+    if "a" in args.modalities:
+        from jegal_tpu.host.media import load_audio_any
+
+        wav = load_audio_any(args.audio_path)
+        if word_boundaries is None:
+            print("Getting word boundaries via ASR backend...")
+            tf = _transcribe(args.audio_path, args.res_dir)
+            text, word_boundaries = load_text(tf)
+        fname = fname or os.path.basename(args.audio_path).split(".")[0]
+
+    if "t" not in args.modalities:
+        text = None
+
+    out = engine.extract_to_pkl(
+        args.res_dir,
+        modalities=args.modalities,
+        visual_feats=visual_feats,
+        text=text,
+        word_boundaries=word_boundaries,
+        wav=wav,
+        fname=fname,
+    )
+    if out is None:
+        raise SystemExit("sample rejected (invalid words/tokenization)")
+    print(f"Saved the embeddings: {out}")
+
+
+def _try_keypoints(frames):
+    """Holistic keypoints if a backend is installed; None -> fallback mask."""
+    try:
+        from jegal_tpu.host.keypoints import extract_keypoints
+
+        return extract_keypoints(frames)
+    except (ImportError, RuntimeError) as e:
+        print(f"[warn] no keypoint backend ({e}); using fallback top-strip mask")
+        return None
+
+
+def _transcribe(audio_path, res_dir):
+    from jegal_tpu.host.transcribe import transcribe_to_file
+
+    return transcribe_to_file(audio_path, res_dir)
+
+
+def cmd_extract_feats(args):
+    import numpy as np
+    import pandas as pd
+
+    from jegal_tpu.convert import checkpoints as C
+    from jegal_tpu.api import JegalEngine
+    from jegal_tpu.host import masking, media
+    import jax.numpy as jnp
+
+    df = pd.read_csv(args.file_path)
+    files = list(df["filename"])
+    files = files[args.rank::args.nshard] if args.nshard > 1 else files
+    engine = JegalEngine(
+        jegal_params=None,
+        gestsync_params=C.load_gestsync(args.checkpoint_path),
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    os.makedirs(args.res_dir, exist_ok=True)
+    done = skipped = failed = 0
+    for f in files:
+        out = os.path.join(args.res_dir, f + ".npy")
+        if os.path.exists(out):  # idempotent file-level resume
+            skipped += 1
+            continue
+        try:
+            video = os.path.join(args.video_dir, f + ".avi")
+            frames, _ = media.decode_video(video, target_fps=0.0)
+            masked = masking.mask_frames(frames, _try_keypoints(frames))
+            feats = engine.gestsync_features(masked)
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            np.save(out, feats)
+            done += 1
+        except Exception as e:  # structured error ledger, not silent skip
+            failed += 1
+            print(json.dumps({"file": f, "error": str(e)}), file=sys.stderr)
+    print(json.dumps({"done": done, "skipped": skipped, "failed": failed}))
+
+
+def cmd_extract_embs(args):
+    from jegal_tpu.data.datasets import extract_embeddings_csv
+
+    engine = _load_engine(args)
+    stats = extract_embeddings_csv(
+        engine,
+        csv_path=args.file_path,
+        video_dir=args.video_dir,
+        feature_dir=args.feature_dir,
+        res_dir=os.path.join(args.res_dir, args.modalities),
+        modalities=args.modalities,
+        rank=args.rank,
+        nshard=args.nshard,
+    )
+    print(json.dumps(stats))
+
+
+def cmd_eval_retrieval(args):
+    from jegal_tpu.eval import retrieval
+
+    res = retrieval.evaluate(args.path)
+    print(json.dumps(res, indent=2))
+
+
+def cmd_eval_spotting(args):
+    from jegal_tpu.eval import spotting
+
+    res = spotting.evaluate(args.path, args.threshold, args.frame_threshold)
+    print(json.dumps(res, indent=2))
+
+
+def cmd_eval_asd(args):
+    import pandas as pd
+
+    from jegal_tpu.eval import asd
+
+    res = asd.evaluate(args.path, pd.read_csv(args.file))
+    print(json.dumps(res, indent=2))
+
+
+def cmd_heatmap(args):
+    from jegal_tpu.eval import heatmap
+
+    out = heatmap.plot_from_pkl(args.path, fname=args.fname)
+    print(json.dumps({"saved": out}))
+
+
+def cmd_preprocess(args):
+    from jegal_tpu.host.preprocess import process_video
+
+    result = process_video(args.video_file, args.preprocessed_root,
+                           fps=args.fps, sample_rate=args.sample_rate)
+    print(json.dumps(result))
+
+
+def cmd_convert(args):
+    from jegal_tpu.convert import checkpoints as C
+
+    if args.model == "roberta":
+        params, cfg = C.load_roberta(args.src)
+        C.save_roberta_npz(params, args.dst, cfg.num_heads)
+    else:
+        loader = {"gestsync": C.load_gestsync, "jegal": C.load_jegal}[args.model]
+        C.save_npz(loader(args.src), args.dst)
+    print(json.dumps({"saved": args.dst}))
+
+
+def cmd_transcribe(args):
+    out = _transcribe(args.audio_path, args.res_dir)
+    print(json.dumps({"saved": out}))
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    {
+        "infer": cmd_infer,
+        "extract-feats": cmd_extract_feats,
+        "extract-embs": cmd_extract_embs,
+        "eval-retrieval": cmd_eval_retrieval,
+        "eval-spotting": cmd_eval_spotting,
+        "eval-asd": cmd_eval_asd,
+        "heatmap": cmd_heatmap,
+        "preprocess": cmd_preprocess,
+        "convert": cmd_convert,
+        "transcribe": cmd_transcribe,
+    }[args.cmd](args)

@@ -1,0 +1,110 @@
+"""CSV-driven batch embedding extraction (AVS eval sets).
+
+Mirrors the reference's DataGenerator_Test + extract_jegal_embs flow
+(dataset.py:198-355; evaluation/extract_jegal_embs.py:56-125): each CSV row
+names a clip (filename), its phrase, and stringified word boundaries;
+visual GestSync features come from `<feature_dir>/<filename>.npy`, audio
+from `<video_dir>/<filename>.wav`. Output: one .pkl per sample named
+`<dir>__<clip>.pkl` with the documented schema.
+
+Host/device pipelining: sample preparation (disk IO, mel, pooling matrices)
+runs on a prefetch thread while the device computes the previous sample —
+the TPU-native replacement for torch DataLoader workers. File-level
+idempotent resume (skip existing outputs) is kept from the reference
+(extract_gestsync_feats.py:281-284), with a structured error ledger instead
+of silent except (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import os
+import pickle
+import sys
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def _out_name(filename: str) -> str:
+    parts = filename.split("/")
+    return parts[0] + "__" + parts[1] + ".pkl"
+
+
+def load_sample(row, video_dir: str, feature_dir: str, modalities: str):
+    """-> kwargs for JegalEngine.extract, or raises on missing inputs."""
+    filename = row["filename"]
+    kw: dict = {"modalities": modalities, "fname": None}
+    if "v" in modalities:
+        fpath = os.path.join(feature_dir, filename + ".npy")
+        feats = np.load(fpath)
+        if feats.ndim != 2 or feats.shape[1] != 1024:
+            raise ValueError(f"bad GestSync feature shape {feats.shape}: {fpath}")
+        kw["visual_feats"] = feats.astype(np.float32)
+    if "t" in modalities or "a" in modalities:
+        kw["word_boundaries"] = ast.literal_eval(row["word_boundaries"]) \
+            if isinstance(row["word_boundaries"], str) else row["word_boundaries"]
+    if "t" in modalities:
+        kw["text"] = row["phrase"]
+    if "a" in modalities:
+        from jegal_tpu.ops.audio import load_wav
+
+        kw["wav"] = load_wav(os.path.join(video_dir, filename + ".wav"))
+    return kw
+
+
+def extract_embeddings_csv(engine, csv_path: str, video_dir: str,
+                           feature_dir: str, res_dir: str,
+                           modalities: str = "vta", rank: int = 0,
+                           nshard: int = 1, prefetch: int = 2) -> dict:
+    """Run the engine over a CSV shard; returns an accounting dict."""
+    import pandas as pd
+
+    df = pd.read_csv(csv_path)
+    rows = [df.iloc[i] for i in range(len(df))]
+    if nshard > 1:
+        rows = rows[rank::nshard]
+    os.makedirs(res_dir, exist_ok=True)
+
+    stats = {"done": 0, "skipped": 0, "failed": 0, "invalid": 0}
+    errors = []
+
+    def prepare(row):
+        out_path = os.path.join(res_dir, _out_name(row["filename"]))
+        if os.path.exists(out_path):
+            return ("skip", out_path, None, None)
+        try:
+            return ("ok", out_path, load_sample(row, video_dir, feature_dir,
+                                                modalities), row)
+        except Exception as e:  # ledger, not silence
+            return ("err", out_path, str(e), row)
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        futures = [pool.submit(prepare, r) for r in rows[:prefetch]]
+        idx = prefetch
+        for i in range(len(rows)):
+            status, out_path, payload, row = futures[i].result()
+            if idx < len(rows):
+                futures.append(pool.submit(prepare, rows[idx]))
+                idx += 1
+            if status == "skip":
+                stats["skipped"] += 1
+                continue
+            if status == "err":
+                stats["failed"] += 1
+                errors.append({"file": str(row["filename"]), "error": payload})
+                continue
+            feats = engine.extract(**payload)
+            if feats is None:
+                stats["invalid"] += 1
+                continue
+            feats["info"] = dict(row)  # full CSV row (phrase, boundaries,
+            # target_word_boundary, neg_files, ...) — needed by the evals
+            with open(out_path, "wb") as f:
+                pickle.dump(feats, f)
+            stats["done"] += 1
+
+    for e in errors:
+        print(json.dumps(e), file=sys.stderr)
+    return stats

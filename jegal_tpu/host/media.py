@@ -1,0 +1,132 @@
+"""ctypes bindings to the native libav media runtime (csrc/decoder.cc).
+
+Replaces decord / ffmpeg-subprocess usage in the reference
+(inference_embs.py:123-151,433-473) with in-process C++ decode. The shared
+library is built on demand with g++ (no pip/apt), cached next to the source.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC_DIR = os.path.join(os.path.dirname(__file__), "csrc")
+_LIB_PATH = os.path.join(_SRC_DIR, "libjegal_media.so")
+_LIBS = "-lavformat -lavcodec -lavutil -lswscale -lswresample".split()
+
+_lock = threading.Lock()
+_lib = None
+
+
+class _JegalVideo(ctypes.Structure):
+    _fields_ = [
+        ("data", ctypes.POINTER(ctypes.c_uint8)),
+        ("nframes", ctypes.c_int64),
+        ("width", ctypes.c_int),
+        ("height", ctypes.c_int),
+        ("fps", ctypes.c_double),
+    ]
+
+
+class _JegalAudio(ctypes.Structure):
+    _fields_ = [
+        ("data", ctypes.POINTER(ctypes.c_int16)),
+        ("nsamples", ctypes.c_int64),
+        ("sample_rate", ctypes.c_int),
+    ]
+
+
+def build_library(force: bool = False) -> str:
+    """Compile the decoder if needed; returns the .so path."""
+    src = os.path.join(_SRC_DIR, "decoder.cc")
+    if force or not os.path.exists(_LIB_PATH) or (
+        os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
+    ):
+        cmd = ["g++", "-O2", "-shared", "-fPIC", src, "-o", _LIB_PATH] + _LIBS
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    return _LIB_PATH
+
+
+def _get_lib():
+    global _lib
+    with _lock:
+        if _lib is None:
+            lib = ctypes.CDLL(build_library())
+            lib.jegal_decode_video.restype = ctypes.POINTER(_JegalVideo)
+            lib.jegal_decode_video.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double]
+            lib.jegal_free_video.argtypes = [ctypes.POINTER(_JegalVideo)]
+            lib.jegal_decode_audio.restype = ctypes.POINTER(_JegalAudio)
+            lib.jegal_decode_audio.argtypes = [ctypes.c_char_p, ctypes.c_int]
+            lib.jegal_free_audio.argtypes = [ctypes.POINTER(_JegalAudio)]
+            lib.jegal_encode_video.restype = ctypes.c_int
+            lib.jegal_encode_video.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_double]
+            _lib = lib
+    return _lib
+
+
+def decode_video(path: str, target_w: int = 0, target_h: int = 0,
+                 target_fps: float = 0.0) -> tuple[np.ndarray, float]:
+    """-> (frames (N, H, W, 3) uint8 RGB, fps). target dims/fps 0 = native."""
+    lib = _get_lib()
+    ptr = lib.jegal_decode_video(path.encode(), target_w, target_h, target_fps)
+    if not ptr:
+        raise IOError(f"could not decode video: {path}")
+    try:
+        v = ptr.contents
+        n = int(v.nframes) * v.height * v.width * 3
+        arr = np.ctypeslib.as_array(v.data, shape=(n,)).reshape(
+            int(v.nframes), v.height, v.width, 3).copy()
+        return arr, float(v.fps)
+    finally:
+        lib.jegal_free_video(ptr)
+
+
+def decode_audio(path: str, sample_rate: int = 16000) -> np.ndarray:
+    """-> mono int16 samples at sample_rate (as float32 at raw int16 scale,
+    matching the reference's wav convention — utils/audio_utils.py:20-25)."""
+    lib = _get_lib()
+    ptr = lib.jegal_decode_audio(path.encode(), sample_rate)
+    if not ptr:
+        raise IOError(f"could not decode audio: {path}")
+    try:
+        a = ptr.contents
+        arr = np.ctypeslib.as_array(a.data, shape=(int(a.nsamples),)).copy()
+        return arr.astype(np.float32)
+    finally:
+        lib.jegal_free_audio(ptr)
+
+
+def encode_video(path: str, frames: np.ndarray, fps: float = 25.0) -> None:
+    """frames: (N, H, W, 3) uint8 RGB -> video file (mpeg4; .avi parity with
+    the reference's XVID track writer)."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w, c = frames.shape
+    assert c == 3
+    lib = _get_lib()
+    rc = lib.jegal_encode_video(
+        path.encode(), frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, w, h, fps)
+    if rc != 0:
+        raise IOError(f"video encode failed ({rc}): {path}")
+
+
+def write_wav(path: str, samples: np.ndarray, sample_rate: int = 16000) -> None:
+    from scipy.io import wavfile
+
+    wavfile.write(path, sample_rate, samples.astype(np.int16))
+
+
+def load_audio_any(path: str, sample_rate: int = 16000) -> np.ndarray:
+    """Audio from .wav (scipy fast path) or any container (native decode)."""
+    if path.endswith(".wav"):
+        from jegal_tpu.ops.audio import load_wav
+
+        return load_wav(path)
+    return decode_audio(path, sample_rate)

@@ -16,6 +16,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
 
+# The axon TPU plugin overrides the JAX_PLATFORMS env var; force the CPU
+# backend in-process so the 8-virtual-device mesh is available and tests are
+# hermetic w.r.t. the tunnel-attached TPU.
+jax.config.update("jax_platforms", "cpu")
+
 # Parity tests compare fp32 numerics against torch; the XLA:CPU default
 # matmul precision is lower (oneDNN bf16-ish). Pin to full fp32 for tests.
 jax.config.update("jax_default_matmul_precision", "highest")

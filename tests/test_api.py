@@ -1,0 +1,141 @@
+"""JegalEngine end-to-end: bucketed/padded execution must equal the
+natural-shape forward (exactly-neutral padding), all seven combos run, and
+the .pkl schema matches the reference contract."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from jegal_tpu.api import JegalEngine
+from jegal_tpu.models import jegal as J
+from jegal_tpu.models import roberta as R
+from jegal_tpu.ops import pooling as P
+from jegal_tpu.ops.audio import wav2filterbanks
+
+from tok_util import make_word_tokenizer
+
+
+@pytest.fixture(scope="module")
+def tiny_roberta():
+    from transformers import XLMRobertaConfig, XLMRobertaModel
+
+    cfg = R.RobertaConfig(vocab_size=64, hidden_size=768, num_layers=1,
+                          num_heads=8, intermediate_size=256,
+                          max_position_embeddings=64)
+    torch.manual_seed(7)
+    hf = XLMRobertaModel(XLMRobertaConfig(
+        vocab_size=64, hidden_size=768, num_hidden_layers=1,
+        num_attention_heads=8, intermediate_size=256,
+        max_position_embeddings=64, pad_token_id=1)).eval()
+    return R.params_from_hf(hf.state_dict(), cfg), cfg
+
+
+@pytest.fixture(scope="module")
+def engine(tiny_roberta):
+    rparams, rcfg = tiny_roberta
+    return JegalEngine(
+        jegal_params=J.init_params(jax.random.PRNGKey(3)),
+        roberta_params=rparams,
+        roberta_cfg=rcfg,
+        tokenizer=make_word_tokenizer(),
+    )
+
+
+SAMPLE = dict(
+    text="hello world abc",
+    word_boundaries=[["hello", 2, 7], ["world", 8, 12], ["abc", 13, 18]],
+)
+
+
+def _wav(rng, seconds=1.0):
+    return (rng.standard_normal(int(16000 * seconds)) * 500).astype(np.float32)
+
+
+def test_ta_bucketing_is_neutral(engine, rng):
+    """Engine (bucketed) vs direct natural-shape forward: identical outputs."""
+    wav = _wav(rng)
+    out = engine.extract(modalities="ta", wav=wav, fname="s1", **SAMPLE)
+    assert out is not None
+    content = out["content_emb"]
+    assert content.shape == (3, 512)
+
+    # natural shapes, no padding
+    batch = engine.tokenizer.encode_words([SAMPLE["text"]])
+    s_nat = batch.input_ids.shape[1]
+    starts = P.text_word_starts(batch.input_ids, batch.offsets, batch.special_ids)
+    tpool, tvalid, _ = P.build_text_pooling(starts, [3], s_nat, 3)
+    assert tvalid[0]
+    mel = wav2filterbanks(jnp.asarray(wav)[None])
+    apool, avalid, _ = P.build_audio_pooling([SAMPLE["word_boundaries"]],
+                                             mel.shape[1] // 4, 3)
+    assert avalid[0]
+    _, c = J.forward_inference(
+        engine.jegal_params, engine.roberta_params,
+        use_v=False, use_t=True, use_a=True,
+        input_ids=jnp.asarray(batch.input_ids, jnp.int32),
+        text_mask=jnp.asarray(batch.attention_mask, jnp.float32),
+        text_pool=jnp.asarray(tpool),
+        audio_mel=mel,
+        audio_pool=jnp.asarray(apool),
+        roberta_cfg=engine.roberta_cfg,
+    )
+    from jegal_tpu.api import l2_normalize
+    want = np.asarray(l2_normalize(c)[0], np.float32)
+    np.testing.assert_allclose(content, want, rtol=1e-4, atol=1e-5)
+
+
+def test_all_combos_run(engine, rng):
+    wav = _wav(rng, 0.6)
+    feats = rng.standard_normal((11, 1024)).astype(np.float32)
+    for m in ("vta", "vt", "va", "ta", "v", "t", "a"):
+        out = engine.extract(
+            modalities=m,
+            visual_feats=feats if "v" in m else None,
+            wav=wav if "a" in m else None,
+            text=SAMPLE["text"] if "t" in m else None,
+            word_boundaries=SAMPLE["word_boundaries"],
+            fname=f"combo_{m}",
+        )
+        assert out is not None, m
+        if "v" in m:
+            assert out["gesture_emb"].shape == (11, 512)
+            np.testing.assert_allclose(
+                np.linalg.norm(out["gesture_emb"], axis=-1), 1.0, rtol=1e-4)
+        else:
+            assert out["gesture_emb"] is None
+        if "t" in m or "a" in m:
+            assert out["content_emb"].shape == (3, 512)
+            np.testing.assert_allclose(
+                np.linalg.norm(out["content_emb"], axis=-1), 1.0, rtol=1e-4)
+        else:
+            assert out["content_emb"] is None
+
+
+def test_visual_bucketing_is_neutral(engine, rng):
+    feats = rng.standard_normal((19, 1024)).astype(np.float32)
+    out = engine.extract(modalities="v", visual_feats=feats, fname="v")
+    g = J.forward_gestures(
+        engine.jegal_params, jnp.asarray(feats)[None], jnp.ones((1, 19)))
+    g = J._mlp2(engine.jegal_params["proj_op_align_gesture"], g)
+    from jegal_tpu.api import l2_normalize
+    want = np.asarray(l2_normalize(g)[0], np.float32)
+    np.testing.assert_allclose(out["gesture_emb"], want, rtol=1e-4, atol=1e-5)
+
+
+def test_pkl_roundtrip(engine, rng, tmp_path):
+    import pickle
+
+    wav = _wav(rng, 0.5)
+    path = engine.extract_to_pkl(
+        str(tmp_path), modalities="a", wav=wav,
+        word_boundaries=SAMPLE["word_boundaries"], fname="roundtrip")
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    assert set(d) == {"gesture_emb", "content_emb", "info"}
+    assert d["gesture_emb"] is None
+    assert d["content_emb"].shape == (3, 512)
+    assert d["info"]["fname"] == "roundtrip"
+    assert d["info"]["word_boundaries"] == SAMPLE["word_boundaries"]

@@ -1,0 +1,115 @@
+"""CLI end-to-end smoke tests on the reference sample fixtures, with random
+native checkpoints written to disk (real .pth/HF weights are not present in
+this image; the converters are parity-tested separately)."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+
+from jegal_tpu.cli.main import main
+from jegal_tpu.convert import checkpoints as C
+from jegal_tpu.models import jegal as J
+from jegal_tpu.models import roberta as R
+
+from tok_util import make_tiny_tokenizer
+
+SAMPLES = "/root/reference/samples"
+
+
+@pytest.fixture(scope="module")
+def ckpts(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpts")
+    jegal_path = str(d / "jegal.npz")
+    C.save_npz(J.init_params(jax.random.PRNGKey(0)), jegal_path)
+
+    # tiny XLM-R: hidden must be 768 (encoder_text contract), 1 layer
+    from transformers import XLMRobertaConfig, XLMRobertaModel
+
+    torch.manual_seed(0)
+    hf = XLMRobertaModel(XLMRobertaConfig(
+        vocab_size=300, hidden_size=768, num_hidden_layers=1,
+        num_attention_heads=12, intermediate_size=256,
+        max_position_embeddings=128, pad_token_id=1)).eval()
+    cfg = R.RobertaConfig(vocab_size=300, hidden_size=768, num_layers=1,
+                          num_heads=12, intermediate_size=256,
+                          max_position_embeddings=128)
+    roberta_path = str(d / "roberta.npz")
+    C.save_roberta_npz(R.params_from_hf(hf.state_dict(), cfg), roberta_path,
+                       num_heads=12)
+
+    tok_path = str(d / "tokenizer.json")
+    make_tiny_tokenizer().save(tok_path)
+    return {"jegal": jegal_path, "roberta": roberta_path, "tok": tok_path}
+
+
+@pytest.mark.skipif(not os.path.isdir(SAMPLES), reason="reference not mounted")
+def test_infer_ta_on_sample1(ckpts, tmp_path, capsys):
+    res = str(tmp_path / "res")
+    main([
+        "infer",
+        "--checkpoint_path_jegal", ckpts["jegal"],
+        "--roberta_path", ckpts["roberta"],
+        "--tokenizer_path", ckpts["tok"],
+        "--modalities", "ta",
+        "--text_path", os.path.join(SAMPLES, "sample1.txt"),
+        "--audio_path", os.path.join(SAMPLES, "sample1.wav"),
+        "--res_dir", res,
+    ])
+    out = os.path.join(res, "sample1.pkl")
+    assert os.path.exists(out)
+    with open(out, "rb") as f:
+        d = pickle.load(f)
+    # sample1.txt has 8 words (README contract: content (W, 512))
+    assert d["content_emb"].shape == (8, 512)
+    assert d["gesture_emb"] is None
+    np.testing.assert_allclose(
+        np.linalg.norm(d["content_emb"], axis=-1), 1.0, rtol=1e-4)
+    assert d["info"]["word_boundaries"][0][0] == "amount"
+    # boundaries are frames: round(0.031*25) = 1
+    assert d["info"]["word_boundaries"][0][1] == 1
+
+
+@pytest.mark.skipif(not os.path.isdir(SAMPLES), reason="reference not mounted")
+def test_infer_t_only_then_heatmap_needs_v(ckpts, tmp_path):
+    res = str(tmp_path / "res")
+    main([
+        "infer",
+        "--checkpoint_path_jegal", ckpts["jegal"],
+        "--roberta_path", ckpts["roberta"],
+        "--tokenizer_path", ckpts["tok"],
+        "--modalities", "t",
+        "--text_path", os.path.join(SAMPLES, "sample2.txt"),
+        "--res_dir", res,
+    ])
+    with open(os.path.join(res, "sample2.pkl"), "rb") as f:
+        d = pickle.load(f)
+    assert d["gesture_emb"] is None and d["content_emb"] is not None
+
+
+def test_infer_missing_args(ckpts):
+    with pytest.raises(SystemExit):
+        main(["infer", "--checkpoint_path_jegal", ckpts["jegal"],
+              "--modalities", "a"])  # no --audio_path
+    with pytest.raises(SystemExit):
+        main(["infer", "--checkpoint_path_jegal", ckpts["jegal"],
+              "--modalities", "v"])  # no --video_path
+
+
+def test_convert_roundtrip(ckpts, tmp_path):
+    params, cfg = C.load_roberta(ckpts["roberta"])
+    assert cfg.hidden_size == 768 and cfg.num_layers == 1 and cfg.num_heads == 12
+    tree = C.load_npz(ckpts["jegal"])
+    assert "encoder_rgb" in tree and len(tree["encoder_rgb"]["layers"]) == 6
+    # save/load roundtrip preserves values
+    p2 = str(tmp_path / "again.npz")
+    C.save_npz(tree, p2)
+    tree2 = C.load_npz(p2)
+    np.testing.assert_array_equal(
+        np.asarray(tree["proj_op_rgb"]["kernel"]),
+        np.asarray(tree2["proj_op_rgb"]["kernel"]))

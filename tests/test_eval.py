@@ -1,0 +1,122 @@
+"""Evaluation subsystem tests on synthetic embedding sets with known
+ground-truth outcomes."""
+
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from jegal_tpu.eval import asd, heatmap, retrieval, spotting
+from jegal_tpu.eval.common import attention_matrix
+
+
+def _write_pkl(path, gesture, content, info):
+    with open(path, "wb") as f:
+        pickle.dump({"gesture_emb": gesture, "content_emb": content, "info": info}, f)
+
+
+@pytest.fixture
+def emb_dir(tmp_path, rng):
+    """10 videos whose video-level gesture/content embeddings are
+    near-identical pairs -> perfect retrieval."""
+    d = tmp_path / "embs"
+    d.mkdir()
+    base = rng.standard_normal((10, 512)).astype(np.float32) * 5
+    for i in range(10):
+        t, w = 6 + i, 3
+        gesture = np.tile(base[i], (t, 1)) + 0.01 * rng.standard_normal((t, 512)).astype(np.float32)
+        content = np.tile(base[i], (w, 1)) + 0.01 * rng.standard_normal((w, 512)).astype(np.float32)
+        _write_pkl(d / f"vid{i:02d}.pkl", gesture, content,
+                   {"fname": f"vid{i:02d}", "phrase": f"p{i}"})
+    return str(d)
+
+
+def test_retrieval_perfect(emb_dir):
+    res = retrieval.evaluate(emb_dir)
+    for mode in ("c2g", "g2c"):
+        assert res[mode]["R1"] == 1.0
+        assert res[mode]["R5"] == 1.0
+        assert res[mode]["MR"] == 1.0
+
+
+def test_retrieval_known_ranks():
+    """Hand-built similarity: diagonal is 2nd best in every row -> R1=0,
+    R5=1, MR=2."""
+    n = 6
+    sim = np.zeros((n, n), np.float32)
+    for i in range(n):
+        sim[i, i] = 0.8
+        sim[i, (i + 1) % n] = 0.9
+    m = retrieval.compute_metrics(sim)
+    assert m["R1"] == 0.0
+    assert m["R5"] == 1.0
+    assert m["MR"] == 2.0
+
+
+def test_spotting_hit_and_miss(rng):
+    t, d = 40, 16
+    rng2 = np.random.default_rng(1)
+    content = rng2.standard_normal((3, d)).astype(np.float32)
+    gesture = 0.01 * rng2.standard_normal((t, d)).astype(np.float32)
+    # make frame 20 strongly aligned to word 1
+    gesture[20] = content[1] * 10
+    gesture[5] = content[2] * 10  # word c peaks far outside its span
+    wbs = [["a", 0, 5], ["b", 18, 22], ["c", 30, 35]]
+    ok, pred, score = spotting.spot_word(gesture, content, wbs, ["b", 18, 22])
+    assert ok and pred == 20 and score >= 0.5
+    # word c's peak frame (5) is outside [30-9, 35+9] -> miss
+    ok_c, pred_c, _ = spotting.spot_word(gesture, content, wbs, ["c", 30, 35])
+    assert pred_c == 5 and not ok_c
+
+
+def test_spotting_frame_threshold():
+    t, d = 30, 8
+    content = np.eye(2, d).astype(np.float32)
+    gesture = np.full((t, d), 0.001, np.float32)
+    gesture[14] = content[0] * 10  # peak at frame 14
+    wbs = [["x", 20, 25], ["y", 0, 3]]
+    # span 20..25 with thresh 9 -> [11, 34]: frame 14 is a hit
+    ok, pred, _ = spotting.spot_word(gesture, content, wbs, ["x", 20, 25])
+    assert ok and pred == 14
+    ok2, _, _ = spotting.spot_word(gesture, content, wbs, ["x", 20, 25], frame_thresh=2)
+    assert not ok2
+
+
+def test_asd(tmp_path, rng):
+    d = tmp_path / "asd"
+    d.mkdir()
+    # positive speaker: gesture == content direction; negatives: orthogonal-ish
+    base = rng.standard_normal((4, 512)).astype(np.float32)
+    names = ["spk0/a", "spk1/b", "spk2/c", "spk3/d"]
+    for i, n in enumerate(names):
+        g = np.tile(base[i], (5, 1))
+        c = np.tile(base[i], (3, 1))
+        _write_pkl(d / (n.split("/")[0] + "__" + n.split("/")[1] + ".pkl"), g, c, {})
+    df = pd.DataFrame([
+        {"filename": "spk0/a", "neg_files": str(["spk1/b", "spk2/c", "spk3/d"])}
+    ])
+    res = asd.evaluate(str(d), df)
+    assert res["evaluated"] == 1
+    assert res["acc_2spk"] == 1.0 and res["acc_4spk"] == 1.0
+
+
+def test_attention_matrix_shape_and_softmax(rng):
+    g = rng.standard_normal((12, 32)).astype(np.float32)
+    c = rng.standard_normal((4, 32)).astype(np.float32)
+    attn = attention_matrix(g, c)
+    assert attn.shape == (4, 12)
+    # softmax normalizes over words (axis 0 after transpose)
+    np.testing.assert_allclose(attn.sum(axis=0), np.ones(12), rtol=1e-5)
+
+
+def test_heatmap_render(tmp_path, emb_dir, rng):
+    src = os.path.join(emb_dir, "vid00.pkl")
+    with open(src, "rb") as f:
+        feats = pickle.load(f)
+    feats["info"]["word_boundaries"] = str([["hello", 0, 3], ["world", 4, 5], ["x", 6, 6]])
+    with open(src, "wb") as f:
+        pickle.dump(feats, f)
+    out = heatmap.plot_from_pkl(src, fname=str(tmp_path / "hm"))
+    assert os.path.exists(out) and os.path.getsize(out) > 1000

@@ -1,0 +1,137 @@
+"""Host runtime tests: native media encode/decode roundtrip, masking,
+tracker/crop pipeline with a fake detector (no external model deps)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from jegal_tpu.host import masking, preprocess
+
+
+def _have_toolchain():
+    import shutil
+
+    return shutil.which("g++") is not None
+
+
+media = pytest.importorskip("jegal_tpu.host.media")
+
+
+@pytest.fixture(scope="module")
+def synth_video(tmp_path_factory, rng):
+    """A 2-second synthetic 'speaker' video: a bright moving square on gray,
+    plus a 440 Hz tone, encoded with the native encoder."""
+    d = tmp_path_factory.mktemp("media")
+    t, h, w = 50, 240, 320
+    frames = np.full((t, h, w, 3), 64, np.uint8)
+    for i in range(t):
+        x = 80 + i  # slow horizontal drift
+        frames[i, 60:200, x : x + 100] = (200, 150, 100)
+    path = str(d / "synth.avi")
+    media.encode_video(path, frames, fps=25.0)
+    wav = (np.sin(2 * np.pi * 440 * np.arange(32000) / 16000) * 8000).astype(np.int16)
+    media.write_wav(str(d / "synth.wav"), wav)
+    return path, frames, wav, str(d)
+
+
+def test_video_roundtrip(synth_video):
+    path, frames, _, _ = synth_video
+    decoded, fps = media.decode_video(path)
+    assert fps == pytest.approx(25.0, abs=0.5)
+    assert decoded.shape == frames.shape
+    # lossy codec: average error small, structure preserved
+    err = np.abs(decoded.astype(np.int32) - frames.astype(np.int32)).mean()
+    assert err < 8.0, err
+
+
+def test_video_decode_resize_and_fps(synth_video):
+    path, frames, _, _ = synth_video
+    decoded, fps = media.decode_video(path, target_w=160, target_h=120,
+                                      target_fps=12.5)
+    assert decoded.shape[1:] == (120, 160, 3)
+    assert abs(decoded.shape[0] - 25) <= 1  # 2 s at 12.5 fps
+
+
+def test_audio_decode_from_container(synth_video, tmp_path):
+    _, _, wav, d = synth_video
+    got = media.decode_audio(os.path.join(d, "synth.wav"), 16000)
+    assert got.shape == (32000,)
+    np.testing.assert_allclose(got, wav.astype(np.float32), atol=1.0)
+    # resample path: 8 kHz
+    got8 = media.decode_audio(os.path.join(d, "synth.wav"), 8000)
+    assert abs(len(got8) - 16000) < 50
+
+
+def test_mask_frames_fallback(rng):
+    frames = (rng.random((5, 120, 160, 3)) * 255).astype(np.uint8)
+    masked = masking.mask_frames(frames, keypoints=None)
+    assert masked.shape == (5 + 24, 270, 480, 3)
+    assert masked.dtype == np.float32
+    assert masked.max() <= 1.0
+    # top strip blacked out
+    assert (masked[:, :110] == 0).all()
+    # edge padding replicates first/last frames
+    np.testing.assert_array_equal(masked[0], masked[12])
+    np.testing.assert_array_equal(masked[-1], masked[-13])
+
+
+def test_resize_bilinear_identity_and_downscale(rng):
+    img = (rng.random((64, 48, 3)) * 255).astype(np.uint8)
+    same = masking.resize_bilinear(img, 48, 64)
+    np.testing.assert_array_equal(same, img)
+    half = masking.resize_bilinear(img, 24, 32)
+    assert half.shape == (32, 24, 3)
+    # constant image stays constant
+    const = np.full((30, 40, 3), 77, np.uint8)
+    np.testing.assert_array_equal(masking.resize_bilinear(const, 17, 13),
+                                  np.full((13, 17, 3), 77, np.uint8))
+
+
+def test_iou():
+    assert preprocess.iou([0, 0, 10, 10], [0, 0, 10, 10]) == pytest.approx(1.0)
+    assert preprocess.iou([0, 0, 10, 10], [20, 20, 30, 30]) == 0.0
+    # the reference's typo'd version would return 0 here; the fixed one 1/7
+    assert preprocess.iou([0, 0, 10, 10], [5, 5, 15, 15]) == pytest.approx(25 / 175)
+
+
+def test_tracker_and_crop(synth_video):
+    path, frames, _, d = synth_video
+
+    def fake_detector(frame):
+        # find the bright square
+        mask = frame[:, :, 0] > 150
+        ys, xs = np.where(mask)
+        if len(xs) == 0:
+            return []
+        return [(xs.min(), ys.min(), xs.max(), ys.max(), 0.99)]
+
+    result = preprocess.process_video(
+        path, os.path.join(d, "out"), detector=fake_detector, keypoint_fn=None)
+    assert result["tracks"] == 1
+    dest = result["dest"]
+    assert os.path.exists(os.path.join(dest, "00000.avi"))
+    # synthetic .avi has no audio stream -> no .wav emitted (graceful)
+    assert not os.path.exists(os.path.join(dest, "00000.wav"))
+    with open(os.path.join(dest, "tracks.pkl"), "rb") as f:
+        tracks = pickle.load(f)
+    assert len(tracks) == 1
+    assert len(tracks[0]["track"]["frame"]) == 50
+    crop, _ = media.decode_video(os.path.join(dest, "00000.avi"))
+    assert crop.shape[0] == 50
+
+
+def test_tracker_gap_and_min_track():
+    # two clusters separated by a >25-frame gap -> two tracks (2nd too short)
+    dets = []
+    for f in range(60):
+        if f < 20:
+            dets.append([{"frame": f, "bbox": [10, 10, 100, 100], "conf": 0.9}])
+        elif f >= 55:
+            dets.append([{"frame": f, "bbox": [10, 10, 100, 100], "conf": 0.9}])
+        else:
+            dets.append([])
+    tracks = preprocess.track_speakers(dets)
+    assert len(tracks) == 1  # the 5-frame tail is below min_track
+    assert tracks[0]["frame"][0] == 0 and tracks[0]["frame"][-1] == 19
