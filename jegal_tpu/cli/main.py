@@ -96,11 +96,32 @@ def build_parser():
     p.add_argument("--fname", default="heatmap")
 
     p = sub.add_parser("preprocess",
-                       help="speaker detect/track/crop a raw video")
-    p.add_argument("--video_file", required=True)
+                       help="speaker detect/track/crop raw video(s)")
+    p.add_argument("--video_file", default=None,
+                   help="single video (reference inference_preprocess.py)")
+    p.add_argument("--file_path", default=None,
+                   help="CSV of videos (reference dataset/preprocess_videos.py)")
+    p.add_argument("--video_root", default=None,
+                   help="directory of downloaded videos (CSV mode)")
     p.add_argument("--preprocessed_root", required=True)
     p.add_argument("--fps", type=float, default=25.0)
     p.add_argument("--sample_rate", type=int, default=16000)
+    p.add_argument("--rank", type=int, default=0)
+    p.add_argument("--nshard", type=int, default=1)
+
+    p = sub.add_parser("download",
+                       help="download dataset clips from a CSV (yt-dlp)")
+    p.add_argument("--file", required=True, help="AVS csv")
+    p.add_argument("--video_root", required=True)
+    p.add_argument("--workers", type=int, default=8)
+
+    p = sub.add_parser("extract-kps",
+                       help="MediaPipe Holistic keypoints for a CSV of videos")
+    p.add_argument("--file_path", required=True)
+    p.add_argument("--video_dir", required=True)
+    p.add_argument("--res_dir", required=True)
+    p.add_argument("--rank", type=int, default=0)
+    p.add_argument("--nshard", type=int, default=1)
 
     p = sub.add_parser("convert", help="convert checkpoints to native .npz")
     p.add_argument("--model", required=True,
@@ -323,9 +344,69 @@ def cmd_heatmap(args):
 def cmd_preprocess(args):
     from jegal_tpu.host.preprocess import process_video
 
-    result = process_video(args.video_file, args.preprocessed_root,
-                           fps=args.fps, sample_rate=args.sample_rate)
-    print(json.dumps(result))
+    if bool(args.video_file) == bool(args.file_path):
+        raise SystemExit("specify exactly one of --video_file / --file_path")
+    if args.video_file:
+        result = process_video(args.video_file, args.preprocessed_root,
+                               fps=args.fps, sample_rate=args.sample_rate)
+        print(json.dumps(result))
+        return
+    # CSV batch mode (reference dataset/preprocess_videos.py)
+    import pandas as pd
+
+    df = pd.read_csv(args.file_path)
+    rows = [df.iloc[i] for i in range(len(df))]
+    if args.nshard > 1:
+        rows = rows[args.rank::args.nshard]
+    stats = {"done": 0, "failed": 0}
+    for row in rows:
+        vid = f"{row['video_id']}_{row['start_time']}_{row['end_time']}.mp4"
+        path = os.path.join(args.video_root or "", vid)
+        try:
+            process_video(path, args.preprocessed_root, fps=args.fps,
+                          sample_rate=args.sample_rate)
+            stats["done"] += 1
+        except Exception as e:
+            stats["failed"] += 1
+            print(json.dumps({"file": vid, "error": str(e)}), file=sys.stderr)
+    print(json.dumps(stats))
+
+
+def cmd_download(args):
+    from jegal_tpu.data.download import download_dataset
+
+    print(json.dumps(download_dataset(args.file, args.video_root,
+                                      args.workers)))
+
+
+def cmd_extract_kps(args):
+    import pandas as pd
+
+    from jegal_tpu.host import media
+    from jegal_tpu.host.keypoints import extract_keypoints, save_keypoints
+
+    df = pd.read_csv(args.file_path)
+    files = list(df["filename"])
+    if args.nshard > 1:
+        files = files[args.rank::args.nshard]
+    os.makedirs(args.res_dir, exist_ok=True)
+    stats = {"done": 0, "skipped": 0, "failed": 0}
+    for f in files:
+        out = os.path.join(args.res_dir, f + ".pkl")
+        if os.path.exists(out):  # idempotent resume (extract_kps.py:150-151)
+            stats["skipped"] += 1
+            continue
+        try:
+            frames, _ = media.decode_video(
+                os.path.join(args.video_dir, f + ".avi"))
+            kps = extract_keypoints(frames)
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            save_keypoints(kps, frames.shape[1:], out)
+            stats["done"] += 1
+        except Exception as e:
+            stats["failed"] += 1
+            print(json.dumps({"file": f, "error": str(e)}), file=sys.stderr)
+    print(json.dumps(stats))
 
 
 def cmd_convert(args):
@@ -356,6 +437,8 @@ def main(argv=None):
         "eval-asd": cmd_eval_asd,
         "heatmap": cmd_heatmap,
         "preprocess": cmd_preprocess,
+        "download": cmd_download,
+        "extract-kps": cmd_extract_kps,
         "convert": cmd_convert,
         "transcribe": cmd_transcribe,
     }[args.cmd](args)

