@@ -87,17 +87,63 @@ def masked_attention_weights(scores, mask):
     return jax.nn.softmax(scores, axis=-1)
 
 
+# attention implementation switch: "dense" (reference-exact einsum),
+# "flash" (Pallas blockwise kernel), or "auto" (flash on TPU when the
+# shapes qualify: self-attention key mask, T % 128 == 0, head dim % 64 == 0)
+_ATTENTION_IMPL = "auto"
+
+
+def set_attention_impl(impl: str):
+    global _ATTENTION_IMPL
+    assert impl in ("auto", "dense", "flash"), impl
+    _ATTENTION_IMPL = impl
+
+
+def _key_mask(mask, b: int, t: int):
+    """Reduce a broadcastable mask to (B, T) key validity, else None."""
+    if mask is None:
+        return None
+    if mask.size == b * t:
+        return mask.reshape(b, t)
+    return False  # a genuinely 2-D (Tq, Tk) mask — flash path unsupported
+
+
+def _flash_ok(t: int, d_k: int) -> bool:
+    if _ATTENTION_IMPL == "dense":
+        return False
+    if _ATTENTION_IMPL == "flash":
+        return True
+    return (
+        jax.default_backend() == "tpu"
+        and t % 128 == 0
+        and d_k % 64 == 0
+    )
+
+
 def multi_head_attention(params, q_in, k_in, v_in, mask, num_heads: int):
     """MHA matching reference models/modules.py:88-120.
 
     mask: None or broadcastable to (B, 1, Tq, Tk) after an internal
     head-axis unsqueeze — pass (B, 1, Tk), (B, Tq, Tk) or (B, 1, 1, Tk).
+
+    Dispatches to the Pallas blockwise kernel when the global attention
+    impl allows it and the mask is a pure key-validity mask.
     """
     dtype = q_in.dtype
     q = _split_heads(linear(params["q"], q_in), num_heads)
     k = _split_heads(linear(params["k"], k_in), num_heads)
     v = _split_heads(linear(params["v"], v_in), num_heads)
-    d_k = q.shape[-1]
+    b, _, t, d_k = q.shape
+
+    if q_in is k_in and t == k.shape[2] and _flash_ok(t, d_k):
+        kmask = _key_mask(mask, b, t)
+        if kmask is not False:
+            from jegal_tpu.ops.pallas.flash_attention import flash_attention
+
+            out = flash_attention(q, k, v, kmask,
+                                  interpret=jax.default_backend() != "tpu")
+            return linear(params["o"], _merge_heads(out))
+
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores / jnp.sqrt(jnp.float32(d_k))
     if mask is not None:
