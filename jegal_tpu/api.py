@@ -166,21 +166,9 @@ class JegalEngine:
     # Public extraction API
     # ------------------------------------------------------------------
 
-    def extract(
-        self,
-        modalities: str = "vta",
-        visual_feats: np.ndarray | None = None,
-        text: str | None = None,
-        word_boundaries: list | None = None,
-        wav: np.ndarray | None = None,
-        fname: str | None = None,
-    ) -> dict | None:
-        """-> {"gesture_emb": (T,512) | None, "content_emb": (W,512) | None,
-        "info": {...}} with L2-normalized float32 numpy embeddings
-        (reference .pkl schema, inference_embs.py:629-646).
-
-        Returns None when the sample is invalid under reference rules.
-        """
+    def _prepare_sample(self, modalities, visual_feats=None, text=None,
+                        word_boundaries=None, wav=None):
+        """-> (arrays dict, t_true, w_true) or None if invalid."""
         use_v = "v" in modalities
         use_t = "t" in modalities
         use_a = "a" in modalities
@@ -218,20 +206,105 @@ class JegalEngine:
                 pad_axis(np.asarray(arrays["text_pool"]), 1, w), self.dtype)
             arrays["audio_pool"] = jnp.asarray(
                 pad_axis(np.asarray(arrays["audio_pool"]), 1, w), self.dtype)
+        return arrays, t_true, w_true
 
-        gesture, content = self._forward((use_v, use_t, use_a), arrays)
-
+    @staticmethod
+    def _postprocess(gesture, content, i, t_true, w_true, text,
+                     word_boundaries, fname):
         out_g = out_c = None
         if gesture is not None:
-            out_g = np.asarray(l2_normalize(gesture)[0, :t_true], np.float32)
+            out_g = np.asarray(l2_normalize(gesture)[i, :t_true], np.float32)
         if content is not None:
-            out_c = np.asarray(l2_normalize(content)[0, :w_true], np.float32)
-        info = {
-            "fname": fname,
-            "word_boundaries": word_boundaries,
-            "text": text,
-        }
+            out_c = np.asarray(l2_normalize(content)[i, :w_true], np.float32)
+        info = {"fname": fname, "word_boundaries": word_boundaries,
+                "text": text}
         return {"gesture_emb": out_g, "content_emb": out_c, "info": info}
+
+    def extract(
+        self,
+        modalities: str = "vta",
+        visual_feats: np.ndarray | None = None,
+        text: str | None = None,
+        word_boundaries: list | None = None,
+        wav: np.ndarray | None = None,
+        fname: str | None = None,
+    ) -> dict | None:
+        """-> {"gesture_emb": (T,512) | None, "content_emb": (W,512) | None,
+        "info": {...}} with L2-normalized float32 numpy embeddings
+        (reference .pkl schema, inference_embs.py:629-646).
+
+        Returns None when the sample is invalid under reference rules.
+        """
+        prep = self._prepare_sample(modalities, visual_feats, text,
+                                    word_boundaries, wav)
+        if prep is None:
+            return None
+        arrays, t_true, w_true = prep
+        use = ("v" in modalities, "t" in modalities, "a" in modalities)
+        gesture, content = self._forward(use, arrays)
+        return self._postprocess(gesture, content, 0, t_true, w_true, text,
+                                 word_boundaries, fname)
+
+    def extract_many(self, samples: list[dict], modalities: str = "vta",
+                     batch_size: int = 8, mesh=None) -> list[dict | None]:
+        """Batched extraction: samples sharing a shape bucket run as one
+        device batch (optionally sharded over the mesh 'data' axis — the
+        pjit data-parallel path for v5e-8 batch sweeps).
+
+        samples: dicts with visual_feats/text/word_boundaries/wav/fname.
+        Returns per-sample result dicts (None for invalid samples),
+        numerically identical to per-sample extract (batch padding is
+        exactly neutral).
+        """
+        use = ("v" in modalities, "t" in modalities, "a" in modalities)
+        prepared = []
+        for s in samples:
+            prep = self._prepare_sample(
+                modalities, s.get("visual_feats"), s.get("text"),
+                s.get("word_boundaries"), s.get("wav"))
+            prepared.append(prep)
+
+        # group compatible shapes
+        groups: dict = {}
+        for idx, prep in enumerate(prepared):
+            if prep is None:
+                continue
+            sig = tuple(sorted((k, tuple(v.shape[1:]))
+                               for k, v in prep[0].items()))
+            groups.setdefault(sig, []).append(idx)
+
+        results: list = [None] * len(samples)
+        for idxs in groups.values():
+            for lo in range(0, len(idxs), batch_size):
+                chunk = idxs[lo : lo + batch_size]
+                n = len(chunk)
+                b = batch_size  # fixed batch: one jit per (combo, sig)
+                if mesh is not None:
+                    d = mesh.shape.get("data", 1)
+                    b = max(b, ((n + d - 1) // d) * d)
+                keys = prepared[chunk[0]][0].keys()
+                arrays = {}
+                for kname in keys:
+                    parts = [np.asarray(prepared[i][0][kname][0])
+                             for i in chunk]
+                    while len(parts) < b:
+                        parts.append(np.zeros_like(parts[0]))
+                    stacked = np.stack(parts)
+                    if mesh is not None:
+                        from jax.sharding import NamedSharding, PartitionSpec
+
+                        stacked = jax.device_put(
+                            stacked,
+                            NamedSharding(mesh, PartitionSpec("data")))
+                    arrays[kname] = jnp.asarray(stacked)
+                gesture, content = self._forward(use, arrays)
+                for bi, i in enumerate(chunk):
+                    _, t_true, w_true = prepared[i]
+                    s = samples[i]
+                    results[i] = self._postprocess(
+                        gesture, content, bi, t_true, w_true, s.get("text"),
+                        s.get("word_boundaries"), s.get("fname"))
+        return results
 
     def extract_to_pkl(self, res_dir: str, **kw) -> str | None:
         feats = self.extract(**kw)

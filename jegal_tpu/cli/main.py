@@ -80,6 +80,9 @@ def build_parser():
                    choices=["vta", "vt", "va", "ta", "v", "t", "a"])
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--nshard", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help=">1 groups samples into device batches; with multiple "
+                        "devices the batch shards over the 'data' mesh axis")
     p.add_argument("--bf16", action="store_true")
 
     _add_common_eval(sub, "eval-retrieval", "AVS-Ret cross-modal retrieval")
@@ -295,9 +298,16 @@ def cmd_extract_feats(args):
 
 
 def cmd_extract_embs(args):
+    import jax
+
     from jegal_tpu.data.datasets import extract_embeddings_csv
 
     engine = _load_engine(args)
+    mesh = None
+    if args.batch_size > 1 and len(jax.devices()) > 1:
+        from jegal_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(len(jax.devices()), model_parallel=1)
     stats = extract_embeddings_csv(
         engine,
         csv_path=args.file_path,
@@ -307,6 +317,8 @@ def cmd_extract_embs(args):
         modalities=args.modalities,
         rank=args.rank,
         nshard=args.nshard,
+        batch_size=args.batch_size,
+        mesh=mesh,
     )
     print(json.dumps(stats))
 

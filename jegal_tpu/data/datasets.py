@@ -57,8 +57,14 @@ def load_sample(row, video_dir: str, feature_dir: str, modalities: str):
 def extract_embeddings_csv(engine, csv_path: str, video_dir: str,
                            feature_dir: str, res_dir: str,
                            modalities: str = "vta", rank: int = 0,
-                           nshard: int = 1, prefetch: int = 2) -> dict:
-    """Run the engine over a CSV shard; returns an accounting dict."""
+                           nshard: int = 1, prefetch: int = 2,
+                           batch_size: int = 1, mesh=None) -> dict:
+    """Run the engine over a CSV shard; returns an accounting dict.
+
+    batch_size > 1 groups bucket-compatible samples into device batches
+    (optionally sharded over a mesh 'data' axis) via extract_many —
+    numerically identical to per-sample extraction.
+    """
     import pandas as pd
 
     df = pd.read_csv(csv_path)
@@ -80,6 +86,28 @@ def extract_embeddings_csv(engine, csv_path: str, video_dir: str,
         except Exception as e:  # ledger, not silence
             return ("err", out_path, str(e), row)
 
+    def save(feats, row, out_path):
+        feats["info"] = dict(row)  # full CSV row (phrase, boundaries,
+        # target_word_boundary, neg_files, ...) — needed by the evals
+        with open(out_path, "wb") as f:
+            pickle.dump(feats, f)
+        stats["done"] += 1
+
+    pending = []  # (payload, row, out_path) accumulated for a device batch
+
+    def flush():
+        if not pending:
+            return
+        results = engine.extract_many([p for p, _, _ in pending],
+                                      modalities=modalities,
+                                      batch_size=batch_size, mesh=mesh)
+        for feats, (_, row, out_path) in zip(results, pending):
+            if feats is None:
+                stats["invalid"] += 1
+            else:
+                save(feats, row, out_path)
+        pending.clear()
+
     with ThreadPoolExecutor(max_workers=1) as pool:
         futures = [pool.submit(prepare, r) for r in rows[:prefetch]]
         idx = prefetch
@@ -95,15 +123,18 @@ def extract_embeddings_csv(engine, csv_path: str, video_dir: str,
                 stats["failed"] += 1
                 errors.append({"file": str(row["filename"]), "error": payload})
                 continue
-            feats = engine.extract(**payload)
-            if feats is None:
-                stats["invalid"] += 1
-                continue
-            feats["info"] = dict(row)  # full CSV row (phrase, boundaries,
-            # target_word_boundary, neg_files, ...) — needed by the evals
-            with open(out_path, "wb") as f:
-                pickle.dump(feats, f)
-            stats["done"] += 1
+            if batch_size <= 1:
+                feats = engine.extract(**payload)
+                if feats is None:
+                    stats["invalid"] += 1
+                else:
+                    save(feats, row, out_path)
+            else:
+                payload.pop("modalities", None)
+                pending.append((payload, row, out_path))
+                if len(pending) >= batch_size:
+                    flush()
+        flush()
 
     for e in errors:
         print(json.dumps(e), file=sys.stderr)

@@ -210,6 +210,45 @@ def forward_vid_windowed(params, clips):
 
 
 # ---------------------------------------------------------------------------
+# Audio tower (checkpoint-compat: present in the reference model but unused
+# by the gesture pipeline — reference models/gestsync.py:23-32,89-168; the
+# LSTM head is dead weight even in the reference forward_aud and is not
+# reimplemented)
+# ---------------------------------------------------------------------------
+
+AUD_SPEC = (
+    dict(k=(3, 3), s=(2, 2), p=(1, 1), mp=((3, 3), (2, 2))),
+    dict(k=(3, 3), s=(1, 2), p=(1, 1), mp=((3, 3), (2, 2))),
+    dict(k=(3, 3), s=(1, 1), p=(1, 1), mp=None),
+    dict(k=(3, 3), s=(1, 1), p=(1, 1), mp=None),
+    dict(k=(3, 3), s=(1, 1), p=(1, 1), mp=((2, 3), (2, 2))),
+    dict(k=(4, 2), s=(1, 1), p=(0, 0), mp=None),  # fc2d block
+)
+AUD_CHANNELS = (1, 64, 192, 384, 256, 256, 512)
+
+
+def forward_aud(params, x):
+    """Audio sync branch: x (B, F, T, 1) NHWC -> (B, 1024, T') like the
+    reference forward_aud (models/gestsync.py:164-168: net_aud -> NetFC_2D
+    -> squeeze)."""
+    from jegal_tpu.core.layers import conv2d, max_pool2d
+
+    for spec, blk in zip(AUD_SPEC, params["net_aud"]):
+        x = conv2d(blk["conv"], x, stride=spec["s"], padding=spec["p"])
+        x = batch_norm_inference(blk["bn"], x)
+        x = jax.nn.relu(x)
+        if spec["mp"] is not None:
+            x = max_pool2d(x, kernel=spec["mp"][0], stride=spec["mp"][1])
+    # NetFC_2D head: 1x1 convs 512 -> 512 -> 1024 with BN+ReLU between
+    x = conv2d(params["ff_aud"]["fc7"], x)
+    x = batch_norm_inference(params["ff_aud"]["bn7"], x)
+    x = jax.nn.relu(x)
+    x = conv2d(params["ff_aud"]["fc8"], x)
+    # torch squeeze(-1) drops the collapsed width axis (NCHW); NHWC parity:
+    return x[:, :, 0, :].transpose(0, 2, 1)  # (B, 1024, T')
+
+
+# ---------------------------------------------------------------------------
 # Checkpoint conversion
 # ---------------------------------------------------------------------------
 
@@ -225,7 +264,7 @@ def params_from_torch(sd, dtype=jnp.float32):
             "conv": conv3d_from_torch(sd, f"net_vid.{name}", dtype),
             "bn": batch_norm_from_torch(sd, f"net_vid.bn{i}", dtype),
         })
-    return {
+    params = {
         "net_vid": net_vid,
         "transformer": torch_encoder_stack_from_torch(
             sd, "transformer_encoder", 6, dtype
@@ -233,6 +272,24 @@ def params_from_torch(sd, dtype=jnp.float32):
         "ff1": linear_from_torch(sd, "ff_vid.0", dtype),
         "ff2": linear_from_torch(sd, "ff_vid.2", dtype),
     }
+    # audio sync branch (checkpoint-compat; unused by the gesture pipeline)
+    if "net_aud.conv1.weight" in sd:
+        from jegal_tpu.convert.torch_import import conv2d_from_torch
+
+        net_aud = []
+        for i in range(1, 7):
+            name = "fc6" if i == 6 else f"conv{i}"
+            net_aud.append({
+                "conv": conv2d_from_torch(sd, f"net_aud.{name}", dtype),
+                "bn": batch_norm_from_torch(sd, f"net_aud.bn{i}", dtype),
+            })
+        params["net_aud"] = net_aud
+        params["ff_aud"] = {
+            "fc7": conv2d_from_torch(sd, "ff_aud.fc7", dtype),
+            "bn7": batch_norm_from_torch(sd, "ff_aud.bn7", dtype),
+            "fc8": conv2d_from_torch(sd, "ff_aud.fc8", dtype),
+        }
+    return params
 
 
 def init_params(key, dtype=jnp.float32):

@@ -1,0 +1,84 @@
+"""Batched / data-parallel extraction must match per-sample extraction."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+
+from jegal_tpu.api import JegalEngine
+from jegal_tpu.models import jegal as J
+from jegal_tpu.models import roberta as R
+
+from tok_util import make_word_tokenizer
+
+
+@pytest.fixture(scope="module")
+def engine():
+    from transformers import XLMRobertaConfig, XLMRobertaModel
+
+    cfg = R.RobertaConfig(vocab_size=64, hidden_size=768, num_layers=1,
+                          num_heads=8, intermediate_size=256,
+                          max_position_embeddings=64)
+    torch.manual_seed(7)
+    hf = XLMRobertaModel(XLMRobertaConfig(
+        vocab_size=64, hidden_size=768, num_hidden_layers=1,
+        num_attention_heads=8, intermediate_size=256,
+        max_position_embeddings=64, pad_token_id=1)).eval()
+    return JegalEngine(
+        jegal_params=J.init_params(jax.random.PRNGKey(3)),
+        roberta_params=R.params_from_hf(hf.state_dict(), cfg),
+        roberta_cfg=cfg,
+        tokenizer=make_word_tokenizer(),
+    )
+
+
+def _samples(rng, n=5):
+    out = []
+    for i in range(n):
+        t = 8 + 2 * i
+        wbs = [["ab", 1, 3], ["hello", 4, 6], ["x", 7, 9]]
+        out.append({
+            "visual_feats": rng.standard_normal((t, 1024)).astype(np.float32),
+            "text": "ab hello x",
+            "word_boundaries": wbs,
+            "wav": (rng.standard_normal(8000) * 300).astype(np.float32),
+            "fname": f"s{i}",
+        })
+    return out
+
+
+def test_extract_many_matches_single(engine, rng):
+    samples = _samples(rng)
+    singles = [engine.extract(modalities="ta", **{k: v for k, v in s.items()})
+               for s in samples]
+    batched = engine.extract_many(samples, modalities="ta", batch_size=4)
+    for s1, s2 in zip(singles, batched):
+        assert (s1 is None) == (s2 is None)
+        np.testing.assert_allclose(s1["content_emb"], s2["content_emb"],
+                                   rtol=5e-4, atol=5e-4)
+        assert s2["info"]["fname"] == s1["info"]["fname"]
+
+
+def test_extract_many_data_parallel_mesh(engine, rng):
+    """Same results when the batch axis is sharded over the 8-device mesh."""
+    from jegal_tpu.parallel.mesh import make_mesh
+
+    samples = _samples(rng, n=4)
+    mesh = make_mesh(8, model_parallel=1)
+    want = engine.extract_many(samples, modalities="ta", batch_size=8)
+    with mesh:
+        got = engine.extract_many(samples, modalities="ta", batch_size=8,
+                                  mesh=mesh)
+    for s1, s2 in zip(want, got):
+        np.testing.assert_allclose(s1["content_emb"], s2["content_emb"],
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_extract_many_with_invalid_sample(engine, rng):
+    samples = _samples(rng, n=3)
+    samples[1]["word_boundaries"] = []  # invalid -> None result
+    samples[1]["text"] = ""
+    out = engine.extract_many(samples, modalities="a", batch_size=2)
+    assert out[0] is not None and out[2] is not None
+    assert out[1] is None
