@@ -81,7 +81,7 @@ class JegalEngine:
         frames = pad_axis(masked_frames, 0, t_bucket + 2 * G.EDGE_PAD)
         if self._gestsync_fn is None:
             self._gestsync_fn = jax.jit(
-                functools.partial(G.extract_features, chunk=32)
+                functools.partial(G.extract_features, chunk=64)
             )
         feats = self._gestsync_fn(self.gestsync_params, jnp.asarray(frames, self.dtype))
         return np.asarray(feats[:t])

@@ -75,59 +75,72 @@ D_MODEL = 512
 D_OUT = 1024
 
 
-def _space_to_depth3(x):
-    """(B, D, H, W, C) -> (B, D, H/3, W/3, 9C): pack each 3x3 spatial block
-    into channels (channel order: row-major block offset, then C)."""
-    b, d, h, w, c = x.shape
-    y = x.reshape(b, d, h // 3, 3, w // 3, 3, c)
-    return y.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, d, h // 3, w // 3, 9 * c)
+def _space_to_depth(x, b: int):
+    """(B, D, H, W, C) -> (B, D, ceil(H/b), ceil(W/b), b*b*C): zero-pad H/W
+    up to multiples of b, then pack each bxb spatial block into channels
+    (channel order: row-major block offset, then C). Zero padding is
+    tap-safe for a valid stride-b conv: real kernel taps never reach the
+    padded rows (the last window starts at b*(out-1) <= H-k)."""
+    bs, d, h, w, c = x.shape
+    hp, wp = -(-h // b) * b, -(-w // b) * b
+    if (hp, wp) != (h, w):
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+    y = x.reshape(bs, d, hp // b, b, wp // b, b, c)
+    return y.transpose(0, 1, 2, 4, 3, 5, 6).reshape(bs, d, hp // b, wp // b,
+                                                    b * b * c)
 
 
-def _s2d_stem_kernel(k):
-    """Rewrite the stem kernel (5,7,7,C,O) for space-to-depth input:
-    -> (5,3,3,9C,O). Original tap (di,dj) lands in block (di//3, dj//3) at
-    within-block offset (di%3, dj%3); taps beyond di,dj=6 stay zero."""
+def _s2d_kernel(k, b: int):
+    """Rewrite a conv3d kernel (kt,kh,kw,C,O) for space-to-depth input with
+    spatial block b (stride b -> stride 1 in block space):
+    -> (kt, kb, kb, b*b*C, O) with kb = (k-1)//b + 1. Original tap (di,dj)
+    lands in block (di//b, dj//b) at within-block offset (di%b, dj%b)."""
     kt, kh, kw, c, o = k.shape
-    out = jnp.zeros((kt, 3, 3, 9 * c, o), k.dtype)
+    kb_h = (kh - 1) // b + 1
+    kb_w = (kw - 1) // b + 1
+    out = jnp.zeros((kt, kb_h, kb_w, b * b * c, o), k.dtype)
     for di in range(kh):
         for dj in range(kw):
-            bi, ri = divmod(di, 3)
-            bj, rj = divmod(dj, 3)
-            off = (ri * 3 + rj) * c
+            bi, ri = divmod(di, b)
+            bj, rj = divmod(dj, b)
+            off = (ri * b + rj) * c
             out = out.at[:, bi, bj, off : off + c, :].set(k[:, di, dj])
     return out
 
 
-def vgg_tower(params, x):
-    """6-block conv3d tower. x: (B, D, H, W, C) -> (B, D-4, 1, 1, 512).
-
-    TPU optimization: the stem (k=(5,7,7), stride (1,3,3), C_in=3) starves
-    the MXU (contraction dim 3); when H and W are divisible by 3 it runs as
-    an exactly-equivalent space-to-depth conv (k=(5,3,3) over 27 channels,
-    stride 1) — ~3-5x faster on v5e, bit-equal up to bf16 rounding."""
-    first = params["net_vid"][0]
-    spec0 = VGG_SPEC[0]
-    if x.shape[2] % 3 == 0 and x.shape[3] % 3 == 0:
-        stem = {"kernel": _s2d_stem_kernel(first["conv"]["kernel"]),
-                "bias": first["conv"].get("bias")}
-        x = conv3d(stem, _space_to_depth3(x), stride=(1, 1, 1), padding=(0, 0, 0))
+def _conv_block(blk, spec, x):
+    """One VGG block with automatic space-to-depth for MXU-starving strided
+    convs (spatial stride b > 1, zero padding): exactly equivalent, ~3-5x
+    faster for the C_in=3 stem on v5e."""
+    s = spec["s"]
+    # s2d pays off only when C_in starves the MXU contraction (the stem's
+    # C_in=3); at C_in >= 16 the repack transpose costs more than it saves
+    # (measured on v5e: layer 2 regressed 18.1 -> 20.3 ms with s2d).
+    if (s[1] == s[2] > 1 and spec["p"] == (0, 0, 0)
+            and x.shape[-1] < 16
+            and x.shape[2] >= blk["conv"]["kernel"].shape[1]):
+        b = s[1]
+        conv = {"kernel": _s2d_kernel(blk["conv"]["kernel"], b),
+                "bias": blk["conv"].get("bias")}
+        x = conv3d(conv, _space_to_depth(x, b), stride=(s[0], 1, 1),
+                   padding=(0, 0, 0))
     else:
-        x = conv3d(first["conv"], x, stride=spec0["s"], padding=spec0["p"])
-    x = batch_norm_inference(first["bn"], x)
+        x = conv3d(blk["conv"], x, stride=s, padding=spec["p"])
+    x = batch_norm_inference(blk["bn"], x)
     x = jax.nn.relu(x)
-    if spec0["mp"] is not None:
-        x = max_pool3d(x, kernel=spec0["mp"][0], stride=spec0["mp"][1])
-
-    for spec, blk in zip(VGG_SPEC[1:], params["net_vid"][1:]):
-        x = conv3d(blk["conv"], x, stride=spec["s"], padding=spec["p"])
-        x = batch_norm_inference(blk["bn"], x)
-        x = jax.nn.relu(x)
-        if spec["mp"] is not None:
-            x = max_pool3d(x, kernel=spec["mp"][0], stride=spec["mp"][1])
+    if spec["mp"] is not None:
+        x = max_pool3d(x, kernel=spec["mp"][0], stride=spec["mp"][1])
     return x
 
 
-def conv_tokens(params, frames, chunk: int = 32):
+def vgg_tower(params, x):
+    """6-block conv3d tower. x: (B, D, H, W, C) -> (B, D-4, 1, 1, 512)."""
+    for spec, blk in zip(VGG_SPEC, params["net_vid"]):
+        x = _conv_block(blk, spec, x)
+    return x
+
+
+def conv_tokens(params, frames, chunk: int = 64):
     """Run the conv tower once over the full padded sequence.
 
     frames: (T_pad, H, W, 3) -> tokens (T_pad - 4, 512).
@@ -184,7 +197,7 @@ def window_head(params, tokens, batch: int | None = None):
     return out.reshape(-1, D_OUT)[:t]
 
 
-def extract_features(params, frames, chunk: int = 32):
+def extract_features(params, frames, chunk: int = 64):
     """Full GestSync feature path: padded masked frames -> (T, 1024).
 
     frames: (T + 24, 270, 480, 3) float32 in [0,1] (edge-padded by caller).

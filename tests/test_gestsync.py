@@ -82,3 +82,22 @@ def test_window_head_shapes(rng):
     batched = np.asarray(G.window_head(params, tokens, batch=16))
     assert full.shape == (37, 1024)
     np.testing.assert_allclose(full, batched, rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_conv_equivalence(rng):
+    """Generic space-to-depth strided conv must equal the direct conv for
+    assorted (H, W, k, b) shapes including non-multiples of b."""
+    import jax.numpy as jnp
+    from jegal_tpu.core.layers import conv3d
+    from jegal_tpu.models.gestsync import _s2d_kernel, _space_to_depth
+
+    for (h, w, k, b) in [(43, 78, 5, 2), (44, 79, 5, 2), (21, 33, 3, 2),
+                         (30, 41, 7, 3), (27, 36, 7, 3)]:
+        x = jnp.asarray(rng.standard_normal((1, 4, h, w, 4)).astype(np.float32))
+        kern = jnp.asarray(rng.standard_normal((1, k, k, 4, 8)).astype(np.float32))
+        ref = conv3d({"kernel": kern}, x, stride=(1, b, b), padding=(0, 0, 0))
+        got = conv3d({"kernel": _s2d_kernel(kern, b)}, _space_to_depth(x, b),
+                     stride=(1, 1, 1), padding=(0, 0, 0))
+        assert ref.shape == got.shape, (h, w, k, b, ref.shape, got.shape)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
