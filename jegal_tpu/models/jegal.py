@@ -78,7 +78,11 @@ def forward_gestures(params, visual_feats, visual_mask):
     x = std_layer_norm(params["proj_ip_ln"], x)
     x = jax.nn.relu(x)
     x = linear(params["proj_ip_rgb"][1], x)
-    pe = sinusoidal_position_encoding(PE_MAX_LEN, D_MODEL, x.dtype)
+    # PE table is computed at trace time for the static T; the reference
+    # caps it at 500 and would crash beyond (modules.py:136) — we extend
+    # the same formula so minutes-long videos work.
+    pe = sinusoidal_position_encoding(
+        max(PE_MAX_LEN, x.shape[1]), D_MODEL, x.dtype)
     x = x + pe[None, : x.shape[1]]
     mask = visual_mask[:, None, :] if visual_mask is not None else None
     x = encoder_stack(params["encoder_rgb"], x, mask, NUM_HEADS)
