@@ -66,6 +66,7 @@ class JegalEngine:
     def __post_init__(self):
         self._combo_cache: dict = {}
         self._gestsync_fn = None
+        self._gestsync_raw_fn = None
 
     # ------------------------------------------------------------------
     # Visual features (GestSync)
@@ -84,6 +85,44 @@ class JegalEngine:
                 functools.partial(G.extract_features, chunk=64)
             )
         feats = self._gestsync_fn(self.gestsync_params, jnp.asarray(frames, self.dtype))
+        return np.asarray(feats[:t])
+
+    def gestsync_features_from_raw(self, frames_u8: np.ndarray,
+                                   chin_rows: np.ndarray | None = None
+                                   ) -> np.ndarray:
+        """Fast path: decoder-resized uint8 frames (T, 270, 480, 3) ->
+        (T, 1024), with the face mask applied ON DEVICE (one uint8
+        host->device transfer; the reference's 32 ms/frame host masking loop
+        disappears into the jit graph — see jegal_tpu/ops/video.py)."""
+        from jegal_tpu.ops.video import mask_frames_device
+
+        if self.gestsync_params is None:
+            raise RuntimeError("engine has no GestSync parameters")
+        t = frames_u8.shape[0]
+        t_bucket = next_bucket(t, T_BUCKETS)
+        # edge-repeat pad to the bucket on host (uint8, cheap)
+        if t_bucket != t:
+            frames_u8 = np.concatenate(
+                [frames_u8,
+                 np.repeat(frames_u8[-1:], t_bucket - t, axis=0)], axis=0)
+        if self._gestsync_raw_fn is None:
+            def fn(params, frames, cut):
+                masked = mask_frames_device(frames, cut).astype(self.dtype)
+                return G.extract_features(params, masked, chunk=64)
+
+            self._gestsync_raw_fn = {
+                True: jax.jit(lambda p, f, c: fn(p, f, c)),
+                False: jax.jit(lambda p, f: fn(p, f, None)),
+            }
+        if chin_rows is not None:
+            cut = pad_axis(np.asarray(chin_rows, np.int32), 0, t_bucket,
+                           value=0)
+            feats = self._gestsync_raw_fn[True](
+                self.gestsync_params, jnp.asarray(frames_u8),
+                jnp.asarray(cut))
+        else:
+            feats = self._gestsync_raw_fn[False](
+                self.gestsync_params, jnp.asarray(frames_u8))
         return np.asarray(feats[:t])
 
     # ------------------------------------------------------------------

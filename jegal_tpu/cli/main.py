@@ -196,18 +196,7 @@ def cmd_infer(args):
     fname = None
 
     if "v" in args.modalities:
-        from jegal_tpu.host import masking, media
-
-        frames, _ = media.decode_video(args.video_path, target_fps=0.0)
-        print(f"Input video frames: {frames.shape}")
-        keypoints = _try_keypoints(frames)
-        if not masking.check_visible_gestures(keypoints):
-            print("The gestures in the input video are not visible! "
-                  "Please give a video with visible gestures as input.")
-            sys.exit(0)
-        masked = masking.mask_frames(frames, keypoints)
-        print("Extracting GestSync features...")
-        visual_feats = engine.gestsync_features(masked)
+        visual_feats = _video_features(engine, args.video_path)
         fname = os.path.basename(args.video_path).split(".")[0]
 
     if "t" in args.modalities and args.text_path is not None:
@@ -253,6 +242,43 @@ def _try_keypoints(frames):
         return None
 
 
+def _video_features(engine, video_path):
+    """Decode -> (keypoints) -> on-device mask -> GestSync features.
+
+    Fast path: the decoder resizes to 480x270 in C (swscale) and masking
+    runs inside the GestSync jit graph. With a keypoint backend installed,
+    the original-resolution frames feed MediaPipe first (gesture-visibility
+    gate + chin lines, reference inference_embs.py:195-286)."""
+    from jegal_tpu.host import masking, media
+
+    keypoints = None
+    chin_rows = None
+    try:
+        import mediapipe  # noqa: F401 -- probe before decoding full-res
+
+        frames_full, _ = media.decode_video(video_path, target_fps=0.0)
+        print(f"Input video frames: {frames_full.shape}")
+        keypoints = _try_keypoints(frames_full)
+        if not masking.check_visible_gestures(keypoints):
+            print("The gestures in the input video are not visible! "
+                  "Please give a video with visible gestures as input.")
+            sys.exit(0)
+        if keypoints is not None:
+            from jegal_tpu.ops.video import chin_lines
+
+            chin_rows = chin_lines(keypoints, frames_full.shape[1:3])
+    except ImportError:
+        print("[warn] no keypoint backend (mediapipe not installed); "
+              "using fallback top-strip mask")
+
+    frames, _ = media.decode_video(video_path, target_w=480, target_h=270,
+                                   target_fps=0.0)
+    if keypoints is None:
+        print(f"Input video frames (decoder-resized): {frames.shape}")
+    print("Extracting GestSync features...")
+    return engine.gestsync_features_from_raw(frames, chin_rows)
+
+
 def _transcribe(audio_path, res_dir):
     from jegal_tpu.host.transcribe import transcribe_to_file
 
@@ -265,7 +291,6 @@ def cmd_extract_feats(args):
 
     from jegal_tpu.convert import checkpoints as C
     from jegal_tpu.api import JegalEngine
-    from jegal_tpu.host import masking, media
     import jax.numpy as jnp
 
     df = pd.read_csv(args.file_path)
@@ -285,9 +310,7 @@ def cmd_extract_feats(args):
             continue
         try:
             video = os.path.join(args.video_dir, f + ".avi")
-            frames, _ = media.decode_video(video, target_fps=0.0)
-            masked = masking.mask_frames(frames, _try_keypoints(frames))
-            feats = engine.gestsync_features(masked)
+            feats = _video_features(engine, video)
             os.makedirs(os.path.dirname(out), exist_ok=True)
             np.save(out, feats)
             done += 1

@@ -1,0 +1,61 @@
+"""Device-side video preprocessing for the GestSync input.
+
+The reference masks/resizes per frame on the host with cv2
+(inference_embs.py:235-286) — measured at ~32 ms/frame in this image, which
+would cap end-to-end throughput at ~1 video/sec. TPU-native split instead:
+
+  * spatial resize to 480x270 happens in the native decoder (swscale, C++),
+  * the face mask is applied ON DEVICE as part of the GestSync graph:
+    uint8 frames -> float/255 -> rows above the chin line zeroed -> edge pad.
+
+Fallback (no keypoint backend): the reference's face-None branch masks the
+top 110 rows after resize (inference_embs.py:262-264) — identical here.
+With keypoints: the reference masks at the original resolution before
+resizing; applying the scaled chin line after the decoder's resize differs
+only in the single interpolated boundary row (documented divergence).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+MASK_HEIGHT, MASK_WIDTH = 270, 480
+FALLBACK_ROWS = 110
+EDGE_PAD = 12
+
+
+def mask_frames_device(frames_u8, y2=None):
+    """frames_u8: (T, 270, 480, 3) uint8 (decoder-resized) ->
+    (T + 24, 270, 480, 3) float32 in [0, 1], masked and edge-padded.
+
+    y2: per-frame chin-line rows (T,) int32 in resized coordinates
+    (already +15 offset applied by the caller), or None for the
+    fixed top-110 fallback mask.
+    """
+    t, h, w, _ = frames_u8.shape
+    x = frames_u8.astype(jnp.float32) / 255.0
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1, 1), 1)
+    if y2 is None:
+        cut = jnp.full((t, 1, 1, 1), FALLBACK_ROWS, jnp.int32)
+    else:
+        cut = jnp.clip(y2.astype(jnp.int32), 0, h).reshape(t, 1, 1, 1)
+    x = jnp.where(rows < cut, 0.0, x)
+    return jnp.pad(x, ((EDGE_PAD, EDGE_PAD), (0, 0), (0, 0), (0, 0)), "edge")
+
+
+def chin_lines(keypoints, resolution, out_height: int = MASK_HEIGHT):
+    """Per-frame chin rows from Holistic keypoints, scaled to the decoder's
+    output height; frames with no face get the fallback row."""
+    import numpy as np
+
+    h = resolution[0]
+    scale = out_height / h
+    from jegal_tpu.host.masking import face_bbox_bottom
+
+    out = np.full((len(keypoints),), FALLBACK_ROWS, np.int32)
+    for i, kp in enumerate(keypoints):
+        face = kp.get("face")
+        if face is not None:
+            out[i] = int((face_bbox_bottom(face, resolution) + 15) * scale)
+    return out

@@ -135,3 +135,25 @@ def test_tracker_gap_and_min_track():
     tracks = preprocess.track_speakers(dets)
     assert len(tracks) == 1  # the 5-frame tail is below min_track
     assert tracks[0]["frame"][0] == 0 and tracks[0]["frame"][-1] == 19
+
+
+def test_device_masking_matches_host(rng):
+    """Fallback-branch device masking must equal the host path on
+    decoder-resized frames."""
+    import jax.numpy as jnp
+
+    from jegal_tpu.ops.video import mask_frames_device
+
+    frames = (rng.random((5, 270, 480, 3)) * 255).astype(np.uint8)
+    host = masking.mask_frames(frames, keypoints=None)
+    dev = np.asarray(mask_frames_device(jnp.asarray(frames)))
+    np.testing.assert_allclose(dev, host, rtol=1e-6, atol=1e-6)
+
+    # per-frame chin lines: masked rows exactly [0, cut)
+    cut = np.array([50, 120, 0, 270, 200], np.int32)
+    dev2 = np.asarray(mask_frames_device(jnp.asarray(frames), jnp.asarray(cut)))
+    core = dev2[12:-12]
+    for i, c in enumerate(cut):
+        assert (core[i, :c] == 0).all()
+        if c < 270:
+            assert core[i, c:].max() > 0
