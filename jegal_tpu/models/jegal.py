@@ -174,6 +174,44 @@ def forward_inference(
     return gesture, content
 
 
+def forward_validation(
+    params,
+    roberta_params=None,
+    *,
+    use_t: bool = True,
+    use_a: bool = True,
+    visual_feats=None,
+    visual_mask=None,
+    input_ids=None,
+    text_mask=None,
+    text_pool=None,
+    audio_mel=None,
+    audio_pool=None,
+    roberta_cfg=None,
+):
+    """Validation forward (reference models/jegal.py:330-375): like
+    forward_inference but WITHOUT the align heads — the representation the
+    training loss sees. Visual branch is always on; text/audio optional with
+    zeros substitution."""
+    gesture = forward_gestures(params, visual_feats, visual_mask)
+
+    text_words = audio_words = None
+    if use_t:
+        from jegal_tpu.models import roberta as R
+
+        cfg = roberta_cfg or R.XLMR_BASE
+        hidden = R.forward(roberta_params, input_ids, text_mask, cfg)
+        text_words = pool_words(text_pool, forward_text(params, hidden, text_mask))
+    if use_a:
+        audio_words = pool_words(audio_pool, forward_audio(params, audio_mel))
+    if text_words is None:
+        text_words = jnp.zeros_like(audio_words)
+    if audio_words is None:
+        audio_words = jnp.zeros_like(text_words)
+    content = fuse_content(params, audio_words, text_words, align=False)
+    return gesture, content
+
+
 # ---------------------------------------------------------------------------
 # Checkpoint conversion / init
 # ---------------------------------------------------------------------------

@@ -139,6 +139,39 @@ def wav2filterbanks(wav, mel_basis=None):
     return feats.transpose(0, 2, 1)  # (B, T, n_mels)
 
 
+def stft_mag_phase(wav):
+    """|STFT| and phase (B, F, T) — the reference's wav2filterbanks also
+    returns magnitude and phase for reconstruction utilities
+    (utils/audio_utils.py:50-51,66)."""
+    window = jnp.asarray(_padded_hann())
+    frames = frame_signal(wav) * window
+    spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+    spec = spec.transpose(0, 2, 1)[:, :, :-1]
+    return jnp.abs(spec), jnp.angle(spec)
+
+
+def reconstruct_wav(mag, phase) -> np.ndarray:
+    """Inverse STFT from magnitude+phase (host-side, scipy), replicating the
+    reference's librosa istft helpers (utils/audio_utils.py:69-97)."""
+    from scipy.signal import istft
+
+    spec = np.asarray(mag) * np.exp(1j * np.asarray(phase))
+    # scipy istft with matching params: hann(win) zero-padded to n_fft
+    _, wav = istft(
+        spec,
+        fs=SAMPLE_RATE,
+        window=np.asarray(_padded_hann(), dtype=np.float64),
+        nperseg=N_FFT,
+        noverlap=N_FFT - HOP_LENGTH,
+        nfft=N_FFT,
+        input_onesided=True,
+        boundary=True,
+    )
+    # scipy's overlap-add normalization differs from the analysis convention
+    # by exactly the hop length (measured: ratio == HOP_LENGTH +- 1e-3)
+    return (wav / HOP_LENGTH).astype(np.float32)
+
+
 def load_wav(path: str) -> np.ndarray:
     """Load a wav file as float32 at raw int16 amplitude scale (reference
     utils/audio_utils.py:20-25 parity: scipy read, no rescaling)."""

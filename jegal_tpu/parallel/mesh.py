@@ -19,6 +19,24 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(**kw):
+    """Multi-host TPU initialization (jax.distributed). The reference's
+    multi-process story is manual --rank/--nshard file sharding
+    (SURVEY.md §2.4); on TPU pods each host calls this once, then
+    make_mesh() spans all global devices and per-host file shards come from
+    jax.process_index()/jax.process_count()."""
+    jax.distributed.initialize(**kw)
+    return jax.process_index(), jax.process_count()
+
+
+def host_shard(items, rank: int | None = None, nshard: int | None = None):
+    """Slice a work list for this host (jax.process_index by default —
+    the TPU-native replacement for the reference's --rank/--nshard)."""
+    rank = jax.process_index() if rank is None else rank
+    nshard = jax.process_count() if nshard is None else nshard
+    return list(items)[rank::nshard]
+
+
 def make_mesh(num_devices: int | None = None, model_parallel: int = 1) -> Mesh:
     devices = jax.devices()
     n = num_devices or len(devices)

@@ -73,3 +73,16 @@ def test_audio_token_rate():
     n = int(seconds * A.SAMPLE_RATE)
     mel_t = n // A.HOP_LENGTH
     assert A.audio_token_mask(mel_t).shape[0] == int(seconds * 25)
+
+
+def test_mag_phase_and_reconstruct(rng):
+    """Round trip: wav -> |STFT|,phase -> istft recovers the interior."""
+    from jegal_tpu.ops.audio import reconstruct_wav, stft_mag_phase
+
+    wav = (rng.standard_normal((1, 8000)) * 1000).astype(np.float32)
+    mag, phase = stft_mag_phase(jnp.asarray(wav))
+    assert mag.shape == phase.shape == (1, 257, 8000 // 160)
+    rec = reconstruct_wav(np.asarray(mag[0]), np.asarray(phase[0]))
+    n = min(len(rec), 8000)
+    err = np.abs(rec[400 : n - 400] - wav[0, 400 : n - 400])
+    assert err.max() < 2.0, err.max()

@@ -236,3 +236,30 @@ def test_forward_inference_combo_shapes(params, rng):
             assert c.shape == (b, w_max, 512)
         else:
             assert c is None
+
+
+def test_forward_validation(params, rng):
+    """forward_validation: no align heads; zeros substitution for a missing
+    content modality (reference models/jegal.py:330-375)."""
+    b, t, tm, w_max = 1, 6, 32, 4
+    feats = jnp.asarray(rng.standard_normal((b, t, 1024)).astype(np.float32))
+    vmask = jnp.ones((b, t))
+    mel = jnp.asarray(rng.standard_normal((b, tm, 80)).astype(np.float32))
+    audio_pool = jnp.asarray(
+        P.build_audio_pooling([[["a", 0, 2], ["b", 3, 5]]], tm // 4, w_max)[0])
+
+    g, c = J.forward_validation(
+        params, use_t=False, use_a=True,
+        visual_feats=feats, visual_mask=vmask,
+        audio_mel=mel, audio_pool=audio_pool)
+    assert g.shape == (b, t, 512) and c.shape == (b, w_max, 512)
+
+    # va (audio-only content) must equal fusing audio with explicit zeros
+    tokens = J.forward_audio(params, mel)
+    aw = P.pool_words(audio_pool, tokens)
+    want = J.fuse_content(params, aw, jnp.zeros_like(aw), align=False)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # and differ from the align-head (inference) output
+    got_inf = J.fuse_content(params, aw, jnp.zeros_like(aw), align=True)
+    assert np.abs(np.asarray(got_inf) - np.asarray(c)).max() > 1e-3
