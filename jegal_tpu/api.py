@@ -115,8 +115,12 @@ class JegalEngine:
                 False: jax.jit(lambda p, f: fn(p, f, None)),
             }
         if chin_rows is not None:
-            cut = pad_axis(np.asarray(chin_rows, np.int32), 0, t_bucket,
-                           value=0)
+            # pad with the LAST chin row: bucket-pad frames repeat the last
+            # real frame, so its mask must repeat too (tail windows read them)
+            chin_rows = np.asarray(chin_rows, np.int32)
+            cut = np.concatenate(
+                [chin_rows,
+                 np.full(t_bucket - t, chin_rows[-1], np.int32)])
             feats = self._gestsync_raw_fn[True](
                 self.gestsync_params, jnp.asarray(frames_u8),
                 jnp.asarray(cut))
@@ -175,7 +179,11 @@ class JegalEngine:
         """wav: (S,) float32 raw int16 scale -> (arrays dict, num_words)."""
         mel = np.asarray(wav2filterbanks(jnp.asarray(wav, jnp.float32)[None]))
         t_mel = mel.shape[1]
-        t_audio = t_mel // 4
+        # token count of the audio CNN (two stride-2 convs with k=3, p=1):
+        # (t-1)//4 + 1 — NOT t//4 (the reference's audio_mask uses floor but
+        # its conv output, which pooling indexes, has the extra token
+        # whenever t_mel % 4 != 0)
+        t_audio = (t_mel - 1) // 4 + 1
         n_words = len(word_boundaries)
         w_bucket = next_bucket(max(n_words, 1), W_BUCKETS)
         pool, valid, _ = P.build_audio_pooling([word_boundaries], t_audio, w_bucket)
@@ -187,6 +195,7 @@ class JegalEngine:
         return {
             "audio_mel": jnp.asarray(mel, self.dtype),
             "audio_pool": jnp.asarray(pool, self.dtype),
+            "audio_valid": jnp.asarray([t_mel], jnp.int32),
         }, n_words
 
     def prepare_visual(self, visual_feats: np.ndarray):
@@ -320,7 +329,7 @@ class JegalEngine:
                 b = batch_size  # fixed batch: one jit per (combo, sig)
                 if mesh is not None:
                     d = mesh.shape.get("data", 1)
-                    b = max(b, ((n + d - 1) // d) * d)
+                    b = ((max(b, n) + d - 1) // d) * d  # divisible by 'data'
                 keys = prepared[chunk[0]][0].keys()
                 arrays = {}
                 for kname in keys:

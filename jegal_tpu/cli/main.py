@@ -199,10 +199,14 @@ def cmd_infer(args):
         visual_feats = _video_features(engine, args.video_path)
         fname = os.path.basename(args.video_path).split(".")[0]
 
-    if "t" in args.modalities and args.text_path is not None:
+    # the reference loads the transcript whenever --text_path is given —
+    # audio-only combos still take their word boundaries from it
+    # (inference_embs.py:573-604 nulls `text` only after loading)
+    if args.text_path is not None:
         text, wbs = load_text(args.text_path)
         word_boundaries = wbs
-        fname = fname or os.path.basename(args.text_path).split(".")[0]
+        if "t" in args.modalities:
+            fname = fname or os.path.basename(args.text_path).split(".")[0]
 
     if "a" in args.modalities:
         from jegal_tpu.host.media import load_audio_any

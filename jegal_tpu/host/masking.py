@@ -78,14 +78,17 @@ def mask_frames(frames: np.ndarray, keypoints=None) -> np.ndarray:
         face = None
         if keypoints is not None and i < len(keypoints):
             face = keypoints[i].get("face")
+        # cv2.rectangle with thickness=-1 fills the bottom row INCLUSIVE:
+        # (0,0)-(w,110) masks rows 0..110 (111 rows); (0,0)-(w,y2+15) masks
+        # rows 0..y2+15 (reference inference_embs.py:264,275)
         if face is None:
             small = resize_bilinear(img, WIDTH, HEIGHT).astype(np.float32)
-            small[:110, :, :] = 0.0
+            small[:111, :, :] = 0.0
             out[i] = small / 255.0
         else:
             img = img.astype(np.float32).copy()
             y2 = face_bbox_bottom(face, (h, w))
-            img[: min(h, y2 + 15), :, :] = 0.0
+            img[: min(h, y2 + 16), :, :] = 0.0
             out[i] = resize_bilinear(img, WIDTH, HEIGHT) / 255.0
     return np.pad(out, ((EDGE_PAD, EDGE_PAD), (0, 0), (0, 0), (0, 0)), "edge")
 
@@ -97,7 +100,9 @@ def check_visible_gestures(keypoints) -> bool:
     if keypoints is None:
         return True
     if len(keypoints) < 25:
-        return False
+        # reference returns (None, None) here and the caller ignores the
+        # return entirely (inference_embs.py:200-201,555) — proceed
+        return True
     handless = sum(
         1 for k in keypoints
         if k.get("pose") is not None

@@ -119,12 +119,11 @@ def smooth_track(track, tight_scale: float = 0.9, kernel: int = 13):
     cx = (boxes[:, 0] + boxes[:, 2]) / 2
     cy = (boxes[:, 1] + boxes[:, 3]) / 2
     size = np.maximum(width, height) / 2
-    k = min(kernel, len(size) if len(size) % 2 == 1 else len(size) - 1)
-    k = max(k, 1)
+    # fixed kernel like the reference (scipy medfilt zero-pads short tracks)
     return {
-        "s": signal.medfilt(size, kernel_size=k),
-        "x": signal.medfilt(cx, kernel_size=k),
-        "y": signal.medfilt(cy, kernel_size=k),
+        "s": signal.medfilt(size, kernel_size=kernel),
+        "x": signal.medfilt(cx, kernel_size=kernel),
+        "y": signal.medfilt(cy, kernel_size=kernel),
     }
 
 

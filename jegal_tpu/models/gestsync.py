@@ -113,12 +113,19 @@ def _conv_block(blk, spec, x):
     convs (spatial stride b > 1, zero padding): exactly equivalent, ~3-5x
     faster for the C_in=3 stem on v5e."""
     s = spec["s"]
+
+    def _s2d_shape_ok(n, k, b):
+        # block-space valid conv must emit exactly the dense output count
+        return (-(-n // b) - (k - 1) // b) == ((n - k) // b + 1)
+
+    kh, kw = blk["conv"]["kernel"].shape[1:3]
     # s2d pays off only when C_in starves the MXU contraction (the stem's
     # C_in=3); at C_in >= 16 the repack transpose costs more than it saves
     # (measured on v5e: layer 2 regressed 18.1 -> 20.3 ms with s2d).
     if (s[1] == s[2] > 1 and spec["p"] == (0, 0, 0)
             and x.shape[-1] < 16
-            and x.shape[2] >= blk["conv"]["kernel"].shape[1]):
+            and _s2d_shape_ok(x.shape[2], kh, s[1])
+            and _s2d_shape_ok(x.shape[3], kw, s[2])):
         b = s[1]
         conv = {"kernel": _s2d_kernel(blk["conv"]["kernel"], b),
                 "bias": blk["conv"].get("bias")}
@@ -197,13 +204,17 @@ def window_head(params, tokens, batch: int | None = None):
     return out.reshape(-1, D_OUT)[:t]
 
 
-def extract_features(params, frames, chunk: int = 64):
+def extract_features(params, frames, chunk: int = 64,
+                     window_batch: int = 512):
     """Full GestSync feature path: padded masked frames -> (T, 1024).
 
     frames: (T + 24, 270, 480, 3) float32 in [0,1] (edge-padded by caller).
-    """
+    Long videos run the window transformer in static window_batch slices so
+    activation memory stays bounded (matching the chunked conv)."""
     tokens = conv_tokens(params, frames, chunk=chunk)  # (T + 20, 512)
-    return window_head(params, tokens)  # (T, 1024)
+    t = tokens.shape[0] - (TOKENS - 1)
+    batch = window_batch if t > window_batch else None
+    return window_head(params, tokens, batch=batch)  # (T, 1024)
 
 
 def forward_vid_windowed(params, clips):

@@ -96,14 +96,31 @@ def forward_text(params, roberta_out, text_mask):
     return linear(params["proj_op_text"], x)
 
 
-def forward_audio(params, mel):
-    """(B, T_mel, 80) -> (B, T_mel//4, 256) audio tokens at 25 Hz."""
+def forward_audio(params, mel, valid_lens=None):
+    """(B, T_mel, 80) -> (B, (T_mel-1)//4+1, 256) audio tokens at 25 Hz.
+
+    valid_lens: optional (B,) true mel lengths when T_mel is bucket-padded.
+    Layers 4-5 have temporal padding at stride 1, so a padded run's last
+    valid tokens would otherwise see computed-garbage neighbors instead of
+    the conv zero-padding a natural-length run sees; re-zeroing the invalid
+    tail after every layer makes the padded run bit-equal to natural
+    (tested in tests/test_api.py)."""
     x = mel[..., None]  # NHWC: (B, time, freq, 1)
+    v = None if valid_lens is None else valid_lens.astype(jnp.int32)
+
+    def zero_tail(x, v):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, x.shape[1], 1, 1), 1)
+        return jnp.where(rows < v[:, None, None, None], x, 0.0)
+
     for spec, blk in zip(AUDIO_CNN_SPEC, params["cnn"]):
         x = conv2d(blk["conv"], x, stride=spec["s"], padding=spec["p"])
         if spec["bn"]:
             x = batch_norm_inference(blk["bn"], x)
             x = jax.nn.relu(x)
+        if v is not None:
+            if spec["s"][0] == 2:  # temporal stride halves the valid length
+                v = (v - 1) // 2 + 1
+            x = zero_tail(x, v)
     x = x[:, :, 0, :]  # freq collapsed to 1
     return linear(params["proj_op_audio"], x)
 
@@ -135,6 +152,7 @@ def forward_inference(
     text_pool=None,
     audio_mel=None,
     audio_pool=None,
+    audio_valid=None,
     roberta_cfg=None,
 ):
     """Parity with reference forward_inference (models/jegal.py:377-420).
@@ -163,7 +181,7 @@ def forward_inference(
         sub = forward_text(params, hidden, text_mask)
         text_words = pool_words(text_pool, sub)
     if use_a:
-        tokens = forward_audio(params, audio_mel)
+        tokens = forward_audio(params, audio_mel, audio_valid)
         audio_words = pool_words(audio_pool, tokens)
     if text_words is None:
         text_words = jnp.zeros_like(audio_words)
@@ -187,6 +205,7 @@ def forward_validation(
     text_pool=None,
     audio_mel=None,
     audio_pool=None,
+    audio_valid=None,
     roberta_cfg=None,
 ):
     """Validation forward (reference models/jegal.py:330-375): like
@@ -203,7 +222,8 @@ def forward_validation(
         hidden = R.forward(roberta_params, input_ids, text_mask, cfg)
         text_words = pool_words(text_pool, forward_text(params, hidden, text_mask))
     if use_a:
-        audio_words = pool_words(audio_pool, forward_audio(params, audio_mel))
+        audio_words = pool_words(
+            audio_pool, forward_audio(params, audio_mel, audio_valid))
     if text_words is None:
         text_words = jnp.zeros_like(audio_words)
     if audio_words is None:

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 MASK_HEIGHT, MASK_WIDTH = 270, 480
-FALLBACK_ROWS = 110
+FALLBACK_ROWS = 111  # cv2.rectangle (0,0)-(w,110) fills rows 0..110 inclusive
 EDGE_PAD = 12
 
 
@@ -57,5 +57,6 @@ def chin_lines(keypoints, resolution, out_height: int = MASK_HEIGHT):
     for i, kp in enumerate(keypoints):
         face = kp.get("face")
         if face is not None:
-            out[i] = int((face_bbox_bottom(face, resolution) + 15) * scale)
+            # reference masks rows 0..y2+15 inclusive -> y2+16 rows
+            out[i] = int((face_bbox_bottom(face, resolution) + 16) * scale)
     return out

@@ -127,13 +127,22 @@ def collate_training_batch(samples: list[dict], tokenizer):
     text_pool, tvalid, counts = P.build_text_pooling(
         starts, n_words, s_nat, w_bucket)
 
-    # audio: mel per sample, padded to the max mel bucket
+    # audio: mel per sample; pooling built against each sample's NATURAL
+    # token count ((t_mel-1)//4+1, the CNN's output length), then padded to
+    # the shared bucket — spans never index conv-on-padding tokens
     mels = [np.asarray(wav2filterbanks(jnp.asarray(s["wav"])[None]))[0]
             for s in samples]
     mel_bucket = next_bucket(max(m.shape[0] for m in mels), MEL_BUCKETS)
-    t_audio = mel_bucket // 4
-    audio_pool, avalid, _ = P.build_audio_pooling(
-        [s["word_boundaries"] for s in samples], t_audio, w_bucket)
+    pools, avalid_l = [], []
+    for s, m in zip(samples, mels):
+        t_audio = (m.shape[0] - 1) // 4 + 1
+        p, v, _ = P.build_audio_pooling([s["word_boundaries"]], t_audio,
+                                        w_bucket)
+        pools.append(pad_axis(p, 2, mel_bucket // 4)[0])
+        avalid_l.append(v[0])
+    audio_pool = np.stack(pools)
+    avalid = np.asarray(avalid_l)
+    audio_valid = np.array([m.shape[0] for m in mels], np.int32)
 
     valid = tvalid & avalid
     keep = [i for i in range(len(samples)) if valid[i]]
@@ -168,5 +177,6 @@ def collate_training_batch(samples: list[dict], tokenizer):
         "text_pool": jnp.asarray(tpool),
         "audio_mel": jnp.asarray(mel),
         "audio_pool": jnp.asarray(apool),
+        "audio_valid": jnp.asarray(audio_valid[keep]),
         "word_mask": jnp.asarray(wmask),
     }

@@ -62,7 +62,8 @@ def video_level_embeddings(params, roberta_params, batch, roberta_cfg,
     sub = J.forward_text(params, hidden, batch["text_mask"])
     text_words = pool_words(batch["text_pool"], sub) * drop_gates[1]
 
-    tokens = J.forward_audio(params, batch["audio_mel"])
+    tokens = J.forward_audio(params, batch["audio_mel"],
+                             batch.get("audio_valid"))
     audio_words = pool_words(batch["audio_pool"], tokens) * drop_gates[0]
 
     content = J.fuse_content(params, audio_words, text_words, align=False)

@@ -139,3 +139,38 @@ def test_pkl_roundtrip(engine, rng, tmp_path):
     assert d["content_emb"].shape == (3, 512)
     assert d["info"]["fname"] == "roundtrip"
     assert d["info"]["word_boundaries"] == SAMPLE["word_boundaries"]
+
+
+def test_audio_token_count_non_multiple_of_4(engine, rng):
+    """t_mel % 4 != 0: the CNN emits (t_mel-1)//4+1 tokens; a word living in
+    the final token must survive (review finding: t_mel//4 dropped it)."""
+    import jax.numpy as jnp
+
+    from jegal_tpu.models import jegal as J
+    from jegal_tpu.ops.audio import wav2filterbanks
+
+    wav = (rng.standard_normal(16480) * 300).astype(np.float32)  # t_mel=103
+    mel = wav2filterbanks(jnp.asarray(wav)[None])
+    assert mel.shape[1] == 103
+    n_tokens = np.asarray(J.forward_audio(engine.jegal_params, mel)).shape[1]
+    assert n_tokens == (103 - 1) // 4 + 1 == 26
+
+    # word boundaries whose last word occupies exactly the final token
+    wbs = [["a", 0, 10], ["b", 11, 24], ["c", 25, 25]]
+    out = engine.extract(modalities="a", wav=wav, word_boundaries=wbs,
+                         fname="tail")
+    assert out is not None
+    assert out["content_emb"].shape == (3, 512)
+
+    # padded-mel tokens must match the natural-length forward exactly when
+    # valid_lens gates the temporal-padding layers (without it the last ~2
+    # tokens see computed-garbage neighbors instead of conv zero-padding)
+    from jegal_tpu.data.bucketing import pad_axis
+
+    mel_pad = jnp.asarray(pad_axis(np.asarray(mel), 1, 128))
+    tok_nat = np.asarray(J.forward_audio(engine.jegal_params, mel))
+    tok_pad = np.asarray(J.forward_audio(engine.jegal_params, mel_pad,
+                                         jnp.asarray([103])))
+    np.testing.assert_allclose(tok_pad[:, :26], tok_nat, rtol=1e-5, atol=1e-5)
+    tok_bad = np.asarray(J.forward_audio(engine.jegal_params, mel_pad))
+    assert np.abs(tok_bad[:, :26] - tok_nat).max() > 1e-3  # the bug existed
