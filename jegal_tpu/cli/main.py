@@ -137,6 +137,26 @@ def build_parser():
     p.add_argument("--audio_path", required=True)
     p.add_argument("--res_dir", default="results")
 
+    p = sub.add_parser("train",
+                       help="contrastive JEGAL training (working, unlike "
+                            "the reference's broken dead code)")
+    p.add_argument("--file_path", required=True,
+                   help="CSV with filename,text_path,audio_path columns")
+    p.add_argument("--feature_dir", required=True,
+                   help="GestSync feature bank (.npy per clip)")
+    p.add_argument("--checkpoint_path", default=None,
+                   help="initial JEGAL weights (.pth/.npz); random init if absent")
+    p.add_argument("--roberta_path", required=True)
+    p.add_argument("--tokenizer_path", required=True)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--ckpt_every", type=int, default=500)
+    p.add_argument("--log_path", default=None)
+    p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+
     return ap
 
 
@@ -465,6 +485,38 @@ def cmd_transcribe(args):
     print(json.dumps({"saved": out}))
 
 
+def cmd_train(args):
+    import jax
+
+    from jegal_tpu.convert import checkpoints as C
+    from jegal_tpu.models import jegal as J
+    from jegal_tpu.text.tokenizer import WordTokenizer
+    from jegal_tpu.training.loop import train
+
+    if args.checkpoint_path:
+        jegal_params = C.load_jegal(args.checkpoint_path)
+    else:
+        jegal_params = J.init_params(jax.random.PRNGKey(args.seed))
+    roberta_params, roberta_cfg = C.load_roberta(args.roberta_path)
+    result = train(
+        csv_path=args.file_path,
+        feature_dir=args.feature_dir,
+        jegal_params=jegal_params,
+        roberta_params=roberta_params,
+        roberta_cfg=roberta_cfg,
+        tokenizer=WordTokenizer.from_file(args.tokenizer_path),
+        steps=args.steps,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        ckpt_dir=args.ckpt_dir,
+        ckpt_every=args.ckpt_every,
+        log_path=args.log_path,
+        seed=args.seed,
+        model_parallel=args.model_parallel,
+    )
+    print(json.dumps(result))
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     {
@@ -480,4 +532,5 @@ def main(argv=None):
         "extract-kps": cmd_extract_kps,
         "convert": cmd_convert,
         "transcribe": cmd_transcribe,
+        "train": cmd_train,
     }[args.cmd](args)

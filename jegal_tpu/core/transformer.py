@@ -138,10 +138,10 @@ def multi_head_attention(params, q_in, k_in, v_in, mask, num_heads: int):
     if q_in is k_in and t == k.shape[2] and _flash_ok(t, d_k):
         kmask = _key_mask(mask, b, t)
         if kmask is not False:
-            from jegal_tpu.ops.pallas.flash_attention import flash_attention
+            from jegal_tpu.ops.pallas.flash_attention import flash_attention_diff
 
-            out = flash_attention(q, k, v, kmask,
-                                  interpret=jax.default_backend() != "tpu")
+            out = flash_attention_diff(
+                q, k, v, kmask, 128, 128, jax.default_backend() != "tpu")
             return linear(params["o"], _merge_heads(out))
 
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)

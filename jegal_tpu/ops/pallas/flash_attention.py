@@ -30,10 +30,14 @@ NEG_FILL = -1e9  # reference fill value (models/modules.py:70)
 def _make_kernel(block_k: int, scale: float, has_mask: bool):
     def kernel(*refs):
         if has_mask:
-            q_ref, k_ref, v_ref, m_ref, o_ref = refs
+            q_ref, k_ref, v_ref, m_full, o_ref = refs
+            # the mask ref is the FULL (B, T) array (a (1, T) block would
+            # violate the sublane tiling rule when B > 1); select this
+            # program's row
+            bi = pl.program_id(0)
         else:
             q_ref, k_ref, v_ref, o_ref = refs
-            m_ref = None
+            m_full = None
 
         block_q, d = q_ref.shape[2], q_ref.shape[3]
         t = k_ref.shape[2]
@@ -48,8 +52,8 @@ def _make_kernel(block_k: int, scale: float, has_mask: bool):
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (block_q, block_k)
-            if m_ref is not None:
-                mk = m_ref[0, pl.ds(j * block_k, block_k)]
+            if m_full is not None:
+                mk = m_full[bi, 0, pl.ds(j * block_k, block_k)]
                 s = jnp.where(mk[None, :] == 0.0, jnp.float32(NEG_FILL), s)
             m_cur = jnp.max(s, axis=-1, keepdims=True)
             m_new = jnp.maximum(m_prev, m_cur)
@@ -68,6 +72,42 @@ def _make_kernel(block_k: int, scale: float, has_mask: bool):
         o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
 
     return kernel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_attention_diff(q, k, v, mask, block_q: int = 128,
+                         block_k: int = 128, interpret: bool = False):
+    """Differentiable wrapper: flash kernel forward, dense fp32 backward
+    (the standard softmax-attention VJP; O(T^2) scratch is fine at the
+    training sequence lengths, T <= 512 by the reference's PE cap)."""
+    return flash_attention(q, k, v, mask, block_q, block_k, interpret)
+
+
+def _flash_fwd(q, k, v, mask, block_q, block_k, interpret):
+    out = flash_attention(q, k, v, mask, block_q, block_k, interpret)
+    return out, (q, k, v, mask)
+
+
+def _flash_bwd(block_q, block_k, interpret, res, g):
+    q, k, v, mask = res
+    d = q.shape[-1]
+    scale = 1.0 / (d ** 0.5)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        s = jnp.where(mask[:, None, None, :] == 0, jnp.float32(NEG_FILL), s)
+    p = jax.nn.softmax(s, axis=-1)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dmask
+
+
+flash_attention_diff.defvjp(_flash_fwd, _flash_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
@@ -90,8 +130,11 @@ def flash_attention(q, k, v, mask=None, block_q: int = 128,
     in_specs = [qspec, kvspec, kvspec]
     args = [q, k, v]
     if mask is not None:
-        in_specs.append(pl.BlockSpec((1, t), lambda bi, hi, qi: (bi, 0)))
-        args.append(mask.astype(jnp.float32))
+        # (B, 1, T): batch stays an UNTILED leading dim so the kernel's
+        # dynamic program-id index is legal; (1, T) tiles satisfy the
+        # sublane rule for any B
+        in_specs.append(pl.BlockSpec((b, 1, t), lambda bi, hi, qi: (0, 0, 0)))
+        args.append(mask.astype(jnp.float32).reshape(b, 1, t))
 
     return pl.pallas_call(
         _make_kernel(block_k, scale, mask is not None),

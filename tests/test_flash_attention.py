@@ -62,3 +62,30 @@ def test_mha_flash_dispatch_matches_dense(rng):
     finally:
         T.set_attention_impl("auto")
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_vjp_matches_dense(rng):
+    """custom_vjp backward (dense fp32) must match autodiff through the
+    dense forward."""
+    from jegal_tpu.ops.pallas.flash_attention import flash_attention_diff
+
+    b, h, t, d = 1, 2, 64, 64
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    mask = jnp.asarray(np.concatenate(
+        [np.ones((b, 50), np.float32), np.zeros((b, 14), np.float32)], axis=1))
+
+    def loss_flash(q, k, v):
+        out = flash_attention_diff(q, k, v, mask, 32, 32, True)
+        return jnp.sum(out ** 2)
+
+    def loss_dense(q, k, v):
+        out = _dense(q, k, v, mask)
+        return jnp.sum(out ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3)
