@@ -43,7 +43,6 @@ from jegal_tpu.models import jegal as J
 from jegal_tpu.models import roberta as R
 from jegal_tpu.ops import pooling as P
 from jegal_tpu.ops.audio import wav2filterbanks
-from jegal_tpu.text.normalize import load_text
 
 
 def l2_normalize(x, axis=-1, eps=1e-12):

@@ -9,9 +9,14 @@ Subcommands map 1:1 to the reference's public scripts (README.md:78-161):
   eval-spotting   <- evaluation/evaluate_spotting.py
   eval-asd        <- evaluation/evaluate_asd.py
   heatmap         <- utils/plot_heatmap.py
-  preprocess      <- preprocess/inference_preprocess.py    (speaker tracks)
-  convert         (new) torch .pth / HF -> native .npz pytrees
+  preprocess      <- preprocess/inference_preprocess.py + dataset/
+                     preprocess_videos.py (single video or CSV batch)
+  download        <- dataset/download_videos.py            (yt-dlp, gated)
+  extract-kps     <- preprocess/extract_kps.py             (MediaPipe, gated)
   transcribe      <- utils/extract_transcripts_whisperx.py (pluggable ASR)
+  convert         (new) torch .pth / HF -> native .npz pytrees
+  train           (new) working contrastive trainer (the reference's
+                  training path is broken dead code, SURVEY.md §2.9.1-2)
 
 Unlike the reference, all seven modality combos of `infer` work
 (SURVEY.md §2.9 defect 4), and eval subcommands emit machine-readable JSON.
@@ -167,9 +172,8 @@ def _load_engine(args, need_gestsync=False):
     from jegal_tpu.convert import checkpoints as C
 
     dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
-    jegal_params = C.load_jegal(args.checkpoint_path_jegal
-                                if hasattr(args, "checkpoint_path_jegal")
-                                else args.checkpoint_path)
+    jegal_params = C.load_jegal(
+        getattr(args, "checkpoint_path_jegal", None) or args.checkpoint_path)
     roberta_params = None
     roberta_cfg = None
     if getattr(args, "roberta_path", None):

@@ -11,7 +11,6 @@ jegal_tpu/parallel/checkpoint.py).
 from __future__ import annotations
 
 import os
-from typing import Any
 
 import numpy as np
 import jax

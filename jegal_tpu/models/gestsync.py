@@ -31,9 +31,6 @@ state-dict compatibility and are not used in this pipeline
 
 from __future__ import annotations
 
-import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np

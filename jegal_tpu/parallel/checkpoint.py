@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import os
 
-import jax
-
 
 def _manager(ckpt_dir: str, max_to_keep: int = 3):
     import orbax.checkpoint as ocp

@@ -9,6 +9,7 @@ devices, JSONL metrics, periodic checkpoints with resume.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 
@@ -88,7 +89,7 @@ def train(
 
             data = NamedSharding(mesh, PartitionSpec("data"))
             batch = {k: jax.device_put(v, data) for k, v in batch.items()}
-        ctx = mesh if mesh is not None else _nullcontext()
+        ctx = mesh if mesh is not None else contextlib.nullcontext()
         with ctx:
             state, loss = step_fn(state, batch, jax.random.fold_in(key, step),
                                   rparams)
@@ -108,10 +109,3 @@ def train(
     metrics.close()
     return {"steps": steps - start_step, "final_loss": last_loss}
 
-
-class _nullcontext:
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *a):
-        return False

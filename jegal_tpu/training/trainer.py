@@ -18,7 +18,6 @@ and GestSync tower stay frozen like the reference.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax
