@@ -45,7 +45,7 @@ def build(dtype, t_frames: int, rng):
 
     def pipeline(gp, jp, rp, frames, input_ids, text_mask, text_pool,
                  audio_mel, audio_pool):
-        feats = G.extract_features(gp, frames, chunk=64)  # (T, 1024)
+        feats = G.extract_features(gp, frames, chunk=160)  # (T, 1024)
         vmask = jnp.ones((1, feats.shape[0]), dtype)
         return J.forward_inference(
             jp, rp, use_v=True, use_t=True, use_a=True,

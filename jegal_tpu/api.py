@@ -81,7 +81,7 @@ class JegalEngine:
         frames = pad_axis(masked_frames, 0, t_bucket + 2 * G.EDGE_PAD)
         if self._gestsync_fn is None:
             self._gestsync_fn = jax.jit(
-                functools.partial(G.extract_features, chunk=64)
+                functools.partial(G.extract_features, chunk=160)
             )
         feats = self._gestsync_fn(self.gestsync_params, jnp.asarray(frames, self.dtype))
         return np.asarray(feats[:t])
@@ -107,7 +107,7 @@ class JegalEngine:
         if self._gestsync_raw_fn is None:
             def fn(params, frames, cut):
                 masked = mask_frames_device(frames, cut).astype(self.dtype)
-                return G.extract_features(params, masked, chunk=64)
+                return G.extract_features(params, masked, chunk=160)
 
             self._gestsync_raw_fn = {
                 True: jax.jit(lambda p, f, c: fn(p, f, c)),

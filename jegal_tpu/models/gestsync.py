@@ -144,7 +144,7 @@ def vgg_tower(params, x):
     return x
 
 
-def conv_tokens(params, frames, chunk: int = 64):
+def conv_tokens(params, frames, chunk: int = 160):
     """Run the conv tower once over the full padded sequence.
 
     frames: (T_pad, H, W, 3) -> tokens (T_pad - 4, 512).
@@ -201,7 +201,7 @@ def window_head(params, tokens, batch: int | None = None):
     return out.reshape(-1, D_OUT)[:t]
 
 
-def extract_features(params, frames, chunk: int = 64,
+def extract_features(params, frames, chunk: int = 160,
                      window_batch: int = 512):
     """Full GestSync feature path: padded masked frames -> (T, 1024).
 

@@ -113,3 +113,36 @@ def test_convert_roundtrip(ckpts, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(tree["proj_op_rgb"]["kernel"]),
         np.asarray(tree2["proj_op_rgb"]["kernel"]))
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"), reason="no reference")
+def test_reference_pth_checkpoint_roundtrip(tmp_path):
+    """Real reference checkpoint format: torch .pth with {'state_dict': ...}
+    under DataParallel 'module.' prefixes -> load_gestsync -> convert CLI
+    -> native .npz -> identical pytree."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from oracles import ref_gestsync
+
+    gm = ref_gestsync()
+    model = gm.GestSync()
+    sd = {"module." + k: v for k, v in model.state_dict().items()}
+    pth = str(tmp_path / "gestsync.pth")
+    torch.save({"state_dict": sd}, pth)
+
+    params = C.load_gestsync(pth)
+    assert "net_aud" in params and "ff_aud" in params  # audio branch covered
+    want = np.asarray(model.state_dict()["net_vid.conv1.weight"])
+    got = np.asarray(params["net_vid"][0]["conv"]["kernel"])
+    np.testing.assert_allclose(got.transpose(4, 3, 0, 1, 2), want, rtol=1e-6)
+
+    # convert CLI -> npz -> reload matches
+    npz = str(tmp_path / "gestsync.npz")
+    main(["convert", "--model", "gestsync", "--src", pth, "--dst", npz])
+    again = C.load_gestsync(npz)
+    np.testing.assert_array_equal(
+        np.asarray(params["ff2"]["kernel"]), np.asarray(again["ff2"]["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(params["transformer"]["layers"][3]["attn"]["q"]["kernel"]),
+        np.asarray(again["transformer"]["layers"][3]["attn"]["q"]["kernel"]))
