@@ -73,6 +73,9 @@ def timed(fn, args, iters: int, device=None):
 
 
 def main():
+    from jegal_tpu.cli.main import setup_compilation_cache
+
+    setup_compilation_cache()
     rng = np.random.default_rng(0)
     t_video = 125  # 5 s @ 25 fps
 

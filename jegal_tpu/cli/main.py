@@ -521,8 +521,26 @@ def cmd_train(args):
     print(json.dumps(result))
 
 
+def setup_compilation_cache():
+    """Persistent XLA compilation cache: first compiles of the big graphs
+    take minutes through the tunnel-attached TPU; subsequent CLI processes
+    reuse them. Override dir with JEGAL_TPU_CACHE_DIR; disable with
+    JEGAL_TPU_CACHE_DIR=''."""
+    cache_dir = os.environ.get(
+        "JEGAL_TPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "jegal_tpu", "xla"))
+    if not cache_dir:
+        return
+    import jax
+
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    setup_compilation_cache()
     {
         "infer": cmd_infer,
         "extract-feats": cmd_extract_feats,
