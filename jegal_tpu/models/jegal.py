@@ -125,9 +125,25 @@ def forward_audio(params, mel, valid_lens=None):
     return linear(params["proj_op_audio"], x)
 
 
-def fuse_content(params, audio_words, text_words, align: bool):
-    """concat -> fusion MLP (-> align MLP at inference): (B, W, 512)."""
-    content = jnp.concatenate([audio_words, text_words], axis=-1)
+def fuse_content(params, audio_words, text_words, align: bool,
+                 strategy: str = "concat"):
+    """fusion -> MLP (-> align MLP at inference): (B, W, 512).
+
+    strategy: 'concat' (default; [audio, text] order, reference
+    jegal.py:319-320) or 'avg' (jegal.py:321-322 — note the reference's avg
+    feeds 256-d into the 512-d fusion MLP and would crash; ours averages
+    the concatenated halves' layout by duplicating, documented divergence
+    is avoided by requiring equal dims)."""
+    if strategy == "concat":
+        content = jnp.concatenate([audio_words, text_words], axis=-1)
+    elif strategy == "avg":
+        # reference 'avg' is (audio + text) / 2; it produces 256-d which the
+        # 512-d fusion MLP cannot consume (latent reference bug) — we tile
+        # the averaged 256-d to 512-d so the option is usable
+        avg = (audio_words + text_words) / 2
+        content = jnp.concatenate([avg, avg], axis=-1)
+    else:
+        raise ValueError(f"unknown fusion strategy: {strategy}")
     content = _mlp2(params["proj_op_fusion_content"], content)
     if align:
         content = _mlp2(params["proj_op_align_content"], content)

@@ -161,4 +161,6 @@ def make_train_step(optimizer, roberta_cfg):
         return train_step(state, batch, key, roberta_params=roberta_params,
                           roberta_cfg=roberta_cfg, optimizer=optimizer)
 
-    return jax.jit(wrapped)
+    # donate the old state: params + both adam moments are overwritten each
+    # step, halving training HBM
+    return jax.jit(wrapped, donate_argnums=(0,))

@@ -68,7 +68,10 @@ def test_sharded_step_matches_single_device():
     opt = trainer.make_optimizer(lr=1e-4)
     key = jax.random.PRNGKey(5)
 
-    state0 = trainer.init_state(jparams, opt)
+    # the train step DONATES its input state (halves training HBM), so each
+    # sub-experiment needs its own copy of the initial params
+    import jax.numpy as jnp
+    state0 = trainer.init_state(jax.tree.map(jnp.copy, jparams), opt)
     step = trainer.make_train_step(opt, cfg)
     _, loss_single = step(state0, batch, key, rparams)
 
