@@ -60,6 +60,7 @@ class JegalEngine:
     tokenizer: Any = None                      # jegal_tpu.text.tokenizer.WordTokenizer
     roberta_cfg: R.RobertaConfig = field(default_factory=lambda: R.XLMR_BASE)
     transcriber: Callable | None = None        # optional ASR backend (wav -> transcript file)
+    fusion_strategy: str = "concat"            # 'concat' (reference default) | 'avg'
     dtype: Any = jnp.float32
 
     def __post_init__(self):
@@ -139,7 +140,8 @@ class JegalEngine:
             def fn(jp, rp, **kw):
                 return J.forward_inference(
                     jp, rp, use_v=use_v, use_t=use_t, use_a=use_a,
-                    roberta_cfg=self.roberta_cfg, **kw,
+                    roberta_cfg=self.roberta_cfg,
+                    fusion_strategy=self.fusion_strategy, **kw,
                 )
 
             self._combo_cache[combo_key] = jax.jit(fn)

@@ -46,6 +46,8 @@ def _add_infer(sub):
     p.add_argument("--res_dir", type=str, default="results")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (MXU fast path)")
+    p.add_argument("--fusion_strategy", default="concat",
+                   choices=["concat", "avg"])
 
 
 def _add_common_eval(sub, name, help_):
@@ -189,7 +191,7 @@ def _load_engine(args, need_gestsync=False):
         from jegal_tpu.text.tokenizer import WordTokenizer
 
         tokenizer = WordTokenizer.from_file(args.tokenizer_path)
-    kw = {}
+    kw = {"fusion_strategy": getattr(args, "fusion_strategy", "concat")}
     if roberta_cfg is not None:
         kw["roberta_cfg"] = roberta_cfg
     return JegalEngine(
@@ -236,10 +238,15 @@ def cmd_infer(args):
         from jegal_tpu.host.media import load_audio_any
 
         wav = load_audio_any(args.audio_path)
-        if word_boundaries is None:
-            print("Getting word boundaries via ASR backend...")
-            tf = _transcribe(args.audio_path, args.res_dir)
-            text, word_boundaries = load_text(tf)
+        fname = fname or os.path.basename(args.audio_path).split(".")[0]
+
+    # transcribe whenever word boundaries are still needed and audio is
+    # available — including 't'-only runs with just --audio_path (the
+    # reference's documented contract, inference_embs.py:663-667)
+    if word_boundaries is None and args.audio_path is not None:
+        print("Getting word boundaries via ASR backend...")
+        tf = _transcribe(args.audio_path, args.res_dir)
+        text, word_boundaries = load_text(tf)
         fname = fname or os.path.basename(args.audio_path).split(".")[0]
 
     if "t" not in args.modalities:

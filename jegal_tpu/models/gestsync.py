@@ -156,6 +156,7 @@ def conv_tokens(params, frames, chunk: int = 160):
     """
     t_pad = frames.shape[0]
     t_out = t_pad - 4
+    chunk = min(chunk, t_out)  # short buckets: don't pad to a full chunk
     num_chunks = -(-t_out // chunk)
     # pad the tail so every chunk is full-size (outputs beyond t_out dropped)
     pad_to = num_chunks * chunk + 4

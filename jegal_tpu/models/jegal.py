@@ -170,6 +170,7 @@ def forward_inference(
     audio_pool=None,
     audio_valid=None,
     roberta_cfg=None,
+    fusion_strategy: str = "concat",
 ):
     """Parity with reference forward_inference (models/jegal.py:377-420).
 
@@ -204,7 +205,8 @@ def forward_inference(
     if audio_words is None:
         audio_words = jnp.zeros_like(text_words)
 
-    content = fuse_content(params, audio_words, text_words, align=True)
+    content = fuse_content(params, audio_words, text_words, align=True,
+                           strategy=fusion_strategy)
     return gesture, content
 
 
@@ -223,6 +225,7 @@ def forward_validation(
     audio_pool=None,
     audio_valid=None,
     roberta_cfg=None,
+    fusion_strategy: str = "concat",
 ):
     """Validation forward (reference models/jegal.py:330-375): like
     forward_inference but WITHOUT the align heads — the representation the
@@ -244,7 +247,8 @@ def forward_validation(
         text_words = jnp.zeros_like(audio_words)
     if audio_words is None:
         audio_words = jnp.zeros_like(text_words)
-    content = fuse_content(params, audio_words, text_words, align=False)
+    content = fuse_content(params, audio_words, text_words, align=False,
+                           strategy=fusion_strategy)
     return gesture, content
 
 

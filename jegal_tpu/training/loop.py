@@ -64,20 +64,35 @@ def train(
     step_fn = trainer.make_train_step(optimizer, roberta_cfg)
     key = jax.random.PRNGKey(seed)
 
-    def make_batch():
-        while True:
+    def make_batch(max_attempts: int = 50):
+        """Always returns exactly batch_size rows: invalid samples are
+        dropped by the collator, so short batches are topped up by cyclic
+        repetition (a fixed batch keeps one jit and keeps the row count
+        divisible by the mesh 'data' axis). Raises after max_attempts of
+        zero valid samples (bad --feature_dir / CSV paths)."""
+        for _ in range(max_attempts):
             rows = [df.iloc[int(i)] for i in
                     rng.integers(0, len(df), batch_size)]
             samples = [load_training_sample(r, feature_dir, rng) for r in rows]
             batch = collate_training_batch(samples, tokenizer)
-            if batch is not None:
-                return batch
+            if batch is None:
+                continue
+            n = batch["visual_feats"].shape[0]
+            if n < batch_size:
+                import jax.numpy as jnp
+
+                idx = jnp.arange(batch_size) % n
+                batch = {k: v[idx] for k, v in batch.items()}
+            return batch
+        raise RuntimeError(
+            f"no valid training batch after {max_attempts} draws — check "
+            "--feature_dir and the CSV's text_path/audio_path columns")
 
     last_loss = float("nan")
     t0 = time.perf_counter()
     sharded = False
+    batch = make_batch()
     for step in range(start_step, steps):
-        batch = make_batch()
         rparams = roberta_params
         if mesh is not None:
             if not sharded:
@@ -93,6 +108,10 @@ def train(
         with ctx:
             state, loss = step_fn(state, batch, jax.random.fold_in(key, step),
                                   rparams)
+        # build the NEXT batch before blocking on the loss fetch so host
+        # data work overlaps device compute (one-step prefetch)
+        if step + 1 < steps:
+            batch = make_batch()
         last_loss = float(loss)
         metrics.write("train_step", step=step + 1, loss=round(last_loss, 5),
                       sec=round(time.perf_counter() - t0, 2))

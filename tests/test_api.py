@@ -174,3 +174,19 @@ def test_audio_token_count_non_multiple_of_4(engine, rng):
     np.testing.assert_allclose(tok_pad[:, :26], tok_nat, rtol=1e-5, atol=1e-5)
     tok_bad = np.asarray(J.forward_audio(engine.jegal_params, mel_pad))
     assert np.abs(tok_bad[:, :26] - tok_nat).max() > 1e-3  # the bug existed
+
+
+def test_fusion_strategy_avg(tiny_roberta, rng):
+    """'avg' fusion is reachable via the engine and changes outputs."""
+    rparams, rcfg = tiny_roberta
+    base = dict(jegal_params=J.init_params(jax.random.PRNGKey(3)),
+                roberta_params=rparams, roberta_cfg=rcfg,
+                tokenizer=make_word_tokenizer())
+    e_concat = JegalEngine(**base)
+    e_avg = JegalEngine(**base, fusion_strategy="avg")
+    wav = _wav(rng, 0.6)
+    kw = dict(modalities="ta", wav=wav, fname="f", **SAMPLE)
+    a = e_concat.extract(**kw)
+    b = e_avg.extract(**kw)
+    assert a["content_emb"].shape == b["content_emb"].shape == (3, 512)
+    assert np.abs(a["content_emb"] - b["content_emb"]).max() > 1e-3
