@@ -242,8 +242,10 @@ def cmd_infer(args):
 
     # transcribe whenever word boundaries are still needed and audio is
     # available — including 't'-only runs with just --audio_path (the
-    # reference's documented contract, inference_embs.py:663-667)
-    if word_boundaries is None and args.audio_path is not None:
+    # reference's documented contract, inference_embs.py:663-667); 'v'-only
+    # runs never need boundaries
+    needs_boundaries = "t" in args.modalities or "a" in args.modalities
+    if needs_boundaries and word_boundaries is None and args.audio_path is not None:
         print("Getting word boundaries via ASR backend...")
         tf = _transcribe(args.audio_path, args.res_dir)
         text, word_boundaries = load_text(tf)
