@@ -52,3 +52,12 @@ def test_device_sync_noop_types():
     from jegal_tpu.utils.profiling import device_sync
 
     device_sync({"a": jnp.ones((2, 2)), "b": None, "c": [jnp.zeros(3)]})
+
+
+def test_host_shard():
+    from jegal_tpu.parallel.mesh import host_shard
+
+    items = list(range(10))
+    shards = [host_shard(items, rank=r, nshard=3) for r in range(3)]
+    assert sorted(sum(shards, [])) == items
+    assert shards[0] == [0, 3, 6, 9]
