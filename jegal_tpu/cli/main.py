@@ -48,6 +48,9 @@ def _add_infer(sub):
                    help="bfloat16 compute (MXU fast path)")
     p.add_argument("--fusion_strategy", default="concat",
                    choices=["concat", "avg"])
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace (Perfetto/XSpace) of "
+                        "the extraction into this directory")
 
 
 def _add_common_eval(sub, name, help_):
@@ -205,7 +208,15 @@ def _load_engine(args, need_gestsync=False):
 
 
 def cmd_infer(args):
+    import contextlib
+
     from jegal_tpu.text.normalize import load_text
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile_dir:
+        from jegal_tpu.utils.profiling import trace
+
+        profile_ctx = trace(args.profile_dir)
 
     # modality-specific input validation (reference inference_embs.py:649-667)
     if "v" in args.modalities and args.video_path is None:
@@ -254,15 +265,16 @@ def cmd_infer(args):
     if "t" not in args.modalities:
         text = None
 
-    out = engine.extract_to_pkl(
-        args.res_dir,
-        modalities=args.modalities,
-        visual_feats=visual_feats,
-        text=text,
-        word_boundaries=word_boundaries,
-        wav=wav,
-        fname=fname,
-    )
+    with profile_ctx:
+        out = engine.extract_to_pkl(
+            args.res_dir,
+            modalities=args.modalities,
+            visual_feats=visual_feats,
+            text=text,
+            word_boundaries=word_boundaries,
+            wav=wav,
+            fname=fname,
+        )
     if out is None:
         raise SystemExit("sample rejected (invalid words/tokenization)")
     print(f"Saved the embeddings: {out}")
