@@ -190,3 +190,13 @@ def test_fusion_strategy_avg(tiny_roberta, rng):
     b = e_avg.extract(**kw)
     assert a["content_emb"].shape == b["content_emb"].shape == (3, 512)
     assert np.abs(a["content_emb"] - b["content_emb"]).max() > 1e-3
+
+
+def test_extraction_is_deterministic(engine, rng):
+    """Same inputs through two separate calls -> bit-identical embeddings
+    (no hidden RNG/nondeterminism in the inference path)."""
+    wav = _wav(rng, 0.5)
+    kw = dict(modalities="ta", wav=wav, fname="d", **SAMPLE)
+    a = engine.extract(**kw)
+    b = engine.extract(**kw)
+    np.testing.assert_array_equal(a["content_emb"], b["content_emb"])
