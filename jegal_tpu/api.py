@@ -355,6 +355,33 @@ class JegalEngine:
                         s.get("word_boundaries"), s.get("fname"))
         return results
 
+    def warmup(self, modalities: str = "vta", t: int = 128, s: int = 64,
+               w: int = 16, mel: int = 512, batch: int = 1) -> None:
+        """Precompile the jit graph for one (combo, bucket) so the first real
+        request doesn't pay compile latency (serving warm-start; pairs with
+        the persistent compilation cache). Shapes are bucket values from
+        jegal_tpu.data.bucketing."""
+        use_v = "v" in modalities
+        use_t = "t" in modalities
+        use_a = "a" in modalities
+        arrays: dict = {}
+        if use_v:
+            arrays["visual_feats"] = jnp.zeros((batch, t, 1024), self.dtype)
+            arrays["visual_mask"] = jnp.ones((batch, t), jnp.float32)
+        if use_t:
+            ids = np.full((batch, s), 1, np.int32)
+            ids[:, 0] = 0
+            arrays["input_ids"] = jnp.asarray(ids)
+            arrays["text_mask"] = jnp.asarray((ids != 1).astype(np.float32))
+            arrays["text_pool"] = jnp.zeros((batch, w, s), self.dtype)
+        if use_a:
+            arrays["audio_mel"] = jnp.zeros((batch, mel, 80), self.dtype)
+            arrays["audio_pool"] = jnp.zeros((batch, w, mel // 4), self.dtype)
+            arrays["audio_valid"] = jnp.full((batch,), mel, jnp.int32)
+        out = self._forward((use_v, use_t, use_a), arrays)
+        for leaf in jax.tree.leaves(out):
+            np.asarray(leaf).ravel()[:1]  # force compile + execute
+
     def extract_to_pkl(self, res_dir: str, **kw) -> str | None:
         feats = self.extract(**kw)
         if feats is None:

@@ -200,3 +200,14 @@ def test_extraction_is_deterministic(engine, rng):
     a = engine.extract(**kw)
     b = engine.extract(**kw)
     np.testing.assert_array_equal(a["content_emb"], b["content_emb"])
+
+
+def test_warmup_precompiles_bucket(engine, rng):
+    """After warmup, an extraction landing in the warmed bucket reuses the
+    jit entry (no new cache key) and produces normal results."""
+    engine.warmup(modalities="ta", s=32, w=8, mel=128)
+    n_keys = len(engine._combo_cache)
+    wav = _wav(rng, 0.5)  # 8000 samples -> mel 50 -> bucket 128; words 3 -> 8
+    out = engine.extract(modalities="ta", wav=wav, fname="w", **SAMPLE)
+    assert out is not None and out["content_emb"].shape == (3, 512)
+    assert len(engine._combo_cache) == n_keys  # same combo entry reused
