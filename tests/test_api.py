@@ -211,3 +211,51 @@ def test_warmup_precompiles_bucket(engine, rng):
     out = engine.extract(modalities="ta", wav=wav, fname="w", **SAMPLE)
     assert out is not None and out["content_emb"].shape == (3, 512)
     assert len(engine._combo_cache) == n_keys  # same combo entry reused
+
+
+@pytest.mark.slow
+def test_bucketing_neutrality_sweep(engine, rng):
+    """Property sweep: for assorted ragged shapes, the bucketed engine must
+    match the natural-shape forward (content cosine ~ 1)."""
+    from jegal_tpu.api import l2_normalize
+
+    for trial in range(4):
+        n_words = int(rng.integers(2, 7))
+        words = []
+        f = int(rng.integers(0, 4))
+        for i in range(n_words):
+            start = f
+            f += int(rng.integers(1, 5))
+            words.append(["ab" if i % 2 else "hello", start, f])
+            f += 1
+        text = " ".join(w[0] for w in words)
+        secs = float(rng.uniform(0.4, 1.6))
+        wav = (rng.standard_normal(int(16000 * secs)) * 400).astype(np.float32)
+
+        out = engine.extract(modalities="ta", wav=wav, text=text,
+                             word_boundaries=words, fname=f"s{trial}")
+        if out is None:  # invalid under reference rules (e.g. span overruns)
+            continue
+
+        batch = engine.tokenizer.encode_words([text])
+        s_nat = batch.input_ids.shape[1]
+        starts = P.text_word_starts(batch.input_ids, batch.offsets,
+                                    batch.special_ids)
+        tpool, tv, _ = P.build_text_pooling(starts, [n_words], s_nat, n_words)
+        mel = wav2filterbanks(jnp.asarray(wav)[None])
+        t_audio = (mel.shape[1] - 1) // 4 + 1
+        apool, av, _ = P.build_audio_pooling([words], t_audio, n_words)
+        if not (tv[0] and av[0]):
+            assert out is None or True
+            continue
+        _, c = J.forward_inference(
+            engine.jegal_params, engine.roberta_params,
+            use_v=False, use_t=True, use_a=True,
+            input_ids=jnp.asarray(batch.input_ids, jnp.int32),
+            text_mask=jnp.asarray(batch.attention_mask, jnp.float32),
+            text_pool=jnp.asarray(tpool), audio_mel=mel,
+            audio_pool=jnp.asarray(apool),
+            roberta_cfg=engine.roberta_cfg)
+        want = np.asarray(l2_normalize(c)[0], np.float32)
+        cos = (out["content_emb"] * want).sum(-1)
+        assert cos.min() > 1 - 1e-5, (trial, cos)
