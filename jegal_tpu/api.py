@@ -244,6 +244,13 @@ class JegalEngine:
             if aa is None:
                 return None
             arrays.update(aa)
+            # When text is also present, the two pooling matrices must agree
+            # on the word count: the reference fails loudly on a torch.cat
+            # shape mismatch (models/jegal.py:407-408) if the phrase's word
+            # count differs from len(word_boundaries). Reject the sample
+            # rather than silently fusing one modality with zero rows.
+            if w_true is not None and n_words != w_true:
+                return None
             w_true = n_words if w_true is None else w_true
 
         # align text/audio word-bucket if both present

@@ -12,9 +12,8 @@ import os
 
 import numpy as np
 
-from jegal_tpu.eval.common import load_pkl, softmax
-
-TEMP = 0.07
+from jegal_tpu.config import DEFAULT as _CFG
+from jegal_tpu.eval.common import TEMP, load_pkl, softmax
 
 
 def _emb_path(res_dir: str, filename: str) -> str:
@@ -57,7 +56,7 @@ def evaluate(res_dir: str, df) -> dict:
             all_gestures.append(_mean_embs(npath, load_content=False))
         all_gestures = np.stack(all_gestures)
         evaluated += 1
-        for n_spk in (2, 4, 6):
+        for n_spk in _CFG.eval.asd_speakers:
             cands = all_gestures[:n_spk]
             pred = int(np.argmax(cosine_scores(q_content, cands)))
             counts[n_spk][0] += int(pred == 0)

@@ -9,8 +9,11 @@ import pickle
 
 import numpy as np
 
-TEMP = 0.07  # similarity temperature used across all eval tasks
+from jegal_tpu.config import DEFAULT as _CFG
+
+# similarity temperature used across all eval tasks
 # (reference evaluate_spotting.py:39, evaluate_asd.py:43, plot_heatmap.py:34)
+TEMP = _CFG.model.temperature
 
 
 def load_pkl(path: str) -> dict:

@@ -8,11 +8,13 @@ from __future__ import annotations
 
 import numpy as np
 
+from jegal_tpu.config import DEFAULT as _CFG
 from jegal_tpu.eval.common import attention_matrix, load_pkl, parse_word_boundaries
 
 
 def render(attn: np.ndarray, words: list[str], fname: str = "heatmap",
-           thresh: float = 0.8, alpha: float = 0.6, cmap: str = "jet") -> str:
+           thresh: float = _CFG.eval.heatmap_threshold,
+           alpha: float = _CFG.eval.heatmap_alpha, cmap: str = "jet") -> str:
     import matplotlib
 
     matplotlib.use("Agg")

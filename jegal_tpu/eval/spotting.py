@@ -17,8 +17,10 @@ from jegal_tpu.eval.common import (
     parse_word_boundaries,
 )
 
-THRESHOLD = 0.5
-FRAME_THRESHOLD = 9
+from jegal_tpu.config import DEFAULT as _CFG
+
+THRESHOLD = _CFG.eval.spot_threshold
+FRAME_THRESHOLD = _CFG.eval.spot_frame_threshold
 
 
 def spot_word(gesture_emb, content_emb, word_boundaries, target_word_boundary,

@@ -16,8 +16,10 @@ from __future__ import annotations
 
 import numpy as np
 
-WIDTH, HEIGHT = 480, 270
-EDGE_PAD = 12
+from jegal_tpu.config import DEFAULT as _CFG
+
+WIDTH, HEIGHT = _CFG.video.mask_width, _CFG.video.mask_height
+EDGE_PAD = _CFG.video.edge_pad_frames
 
 # face-oval landmark indices (MediaPipe FaceMesh oval, reference
 # inference_embs.py:250-251)

@@ -30,10 +30,12 @@ from scipy.interpolate import interp1d
 
 from jegal_tpu.host.masking import resize_bilinear
 
-IOU_THRESHOLD = 0.5
-MIN_TRACK = 10
-MIN_FRAME_SIZE = 64
-NUM_FAILED_DET = 25
+from jegal_tpu.config import DEFAULT as _CFG
+
+IOU_THRESHOLD = _CFG.preprocess.iou_threshold
+MIN_TRACK = _CFG.preprocess.min_track
+MIN_FRAME_SIZE = _CFG.preprocess.min_frame_size
+NUM_FAILED_DET = _CFG.preprocess.num_failed_det
 PAD_VALUE = 110  # constant-pad gray used by the reference crop (":345")
 
 

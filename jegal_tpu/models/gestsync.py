@@ -64,9 +64,11 @@ VGG_SPEC = (
     dict(k=(1, 4, 4), s=(1, 1, 1), p=(0, 0, 0), mp=None),  # fc3d block
 )
 
-WINDOW = 25          # frames per sync window (inference_embs.py:488)
-TOKENS = 21          # conv tokens per window: 25 - (5-1)
-EDGE_PAD = 12        # caller edge-pads +/-12 frames (inference_embs.py:283)
+from jegal_tpu.config import DEFAULT as _CFG
+
+WINDOW = _CFG.video.window       # frames per sync window (inference_embs.py:488)
+TOKENS = WINDOW - 4              # conv tokens per window: 25 - (5-1)
+EDGE_PAD = _CFG.video.edge_pad_frames  # caller edge-pads +/-12 (inference_embs.py:283)
 NUM_HEADS = 8
 D_MODEL = 512
 D_OUT = 1024

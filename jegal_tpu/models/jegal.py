@@ -46,10 +46,12 @@ from jegal_tpu.convert.torch_import import (
     strip_module_prefix,
 )
 
-D_MODEL = 512
-D_TEXT = 768
-NUM_HEADS = 8
-PE_MAX_LEN = 500
+from jegal_tpu.config import DEFAULT as _CFG
+
+D_MODEL = _CFG.model.d_model
+D_TEXT = _CFG.model.d_model_text
+NUM_HEADS = _CFG.model.num_heads
+PE_MAX_LEN = _CFG.model.pe_max_len
 
 # audio CNN: (kernel, stride, padding, has_bn_relu) — reference jegal.py:41-63
 AUDIO_CNN_SPEC = (
@@ -130,16 +132,23 @@ def fuse_content(params, audio_words, text_words, align: bool,
     """fusion -> MLP (-> align MLP at inference): (B, W, 512).
 
     strategy: 'concat' (default; [audio, text] order, reference
-    jegal.py:319-320) or 'avg' (jegal.py:321-322 — note the reference's avg
-    feeds 256-d into the 512-d fusion MLP and would crash; ours averages
-    the concatenated halves' layout by duplicating, documented divergence
-    is avoided by requiring equal dims)."""
+    jegal.py:319-320) or 'avg'. The reference's 'avg' (jegal.py:321-322) is
+    a latent bug: (audio + text) / 2 is 256-d, which the 512-d fusion MLP
+    cannot consume. Our 'avg' tiles the averaged 256-d vector twice to
+    512-d so the option runs; its outputs are NOT comparable to any
+    reference output (a warning is logged on selection)."""
     if strategy == "concat":
         content = jnp.concatenate([audio_words, text_words], axis=-1)
     elif strategy == "avg":
         # reference 'avg' is (audio + text) / 2; it produces 256-d which the
         # 512-d fusion MLP cannot consume (latent reference bug) — we tile
         # the averaged 256-d to 512-d so the option is usable
+        import warnings
+
+        warnings.warn(
+            "fusion_strategy='avg' tiles the 256-d average to 512-d; the "
+            "reference's 'avg' crashes, so these outputs are not comparable "
+            "to any reference output", stacklevel=2)
         avg = (audio_words + text_words) / 2
         content = jnp.concatenate([avg, avg], axis=-1)
     else:

@@ -26,11 +26,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-SAMPLE_RATE = 16000
-N_FFT = 512
-WIN_LENGTH = 320
-HOP_LENGTH = 160
-N_MELS = 80
+from jegal_tpu.config import DEFAULT as _CFG
+
+SAMPLE_RATE = _CFG.audio.sample_rate
+N_FFT = _CFG.audio.n_fft
+WIN_LENGTH = _CFG.audio.win_length
+HOP_LENGTH = _CFG.audio.hop_length
+N_MELS = _CFG.audio.n_mels
+LOG_OFFSET = _CFG.audio.log_offset
 
 
 # ---------------------------------------------------------------------------
@@ -134,7 +137,7 @@ def wav2filterbanks(wav, mel_basis=None):
     mag = stft_magnitude(wav)[:, :, :-1]  # drop last time frame
     feats = jnp.log(
         jnp.einsum("mf,bft->bmt", mel_basis, mag, preferred_element_type=jnp.float32)
-        + 1e-20
+        + LOG_OFFSET
     )
     return feats.transpose(0, 2, 1)  # (B, T, n_mels)
 

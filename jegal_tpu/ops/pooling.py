@@ -90,7 +90,13 @@ def build_audio_pooling(word_boundaries: list[list], t_audio: int, w_max: int):
         for w, entry in enumerate(wbs):
             lo = int(entry[1]) - actual_start
             hi = int(entry[2]) - actual_start + 1
-            lo_c = max(0, min(lo, t_audio))
+            if lo < 0:
+                # non-monotonic boundaries: the reference's negative torch
+                # index yields an empty slice and crashes on .mean() — treat
+                # the sample as invalid rather than pooling a clamped span
+                ok = False
+                break
+            lo_c = min(lo, t_audio)
             hi_c = max(0, min(hi, t_audio))
             if hi_c <= lo_c:
                 ok = False  # reference would crash on an empty span

@@ -259,3 +259,15 @@ def test_bucketing_neutrality_sweep(engine, rng):
         want = np.asarray(l2_normalize(c)[0], np.float32)
         cos = (out["content_emb"] * want).sum(-1)
         assert cos.min() > 1 - 1e-5, (trial, cos)
+
+
+def test_ta_word_count_mismatch_rejected(engine, rng):
+    """Text word count != len(word_boundaries): the reference fails loudly
+    on a torch.cat shape mismatch — the engine must reject the sample
+    instead of fusing one modality with zero rows."""
+    wav = _wav(rng)
+    out = engine.extract(
+        modalities="ta", wav=wav, fname="bad",
+        text="hello world",  # 2 words vs 3 boundary entries
+        word_boundaries=SAMPLE["word_boundaries"])
+    assert out is None

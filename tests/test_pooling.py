@@ -79,3 +79,13 @@ def test_text_word_starts():
     offs[0] = [(0, 0), (0, 2), (2, 4), (0, 3), (0, 0), (0, 0), (0, 0)]
     starts = P.text_word_starts(ids, offs, special_ids=(0, 2, 1))
     assert starts == [[1, 3]]  # token 2 continues word 0; specials excluded
+
+
+def test_audio_pooling_negative_start_invalid():
+    """Non-monotonic boundaries (a word starting before the first word) hit
+    negative torch indices in the reference and crash — fail loud, not
+    silently pool a clamped span."""
+    wbs = [[["a", 10, 13], ["b", 4, 8]]]  # b starts before actual_start=10
+    p, valid, _ = P.build_audio_pooling(wbs, 20, 4)
+    assert not valid[0]
+    assert (p[0] == 0).all()
