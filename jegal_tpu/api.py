@@ -106,7 +106,15 @@ class JegalEngine:
                 [frames_u8,
                  np.repeat(frames_u8[-1:], t_bucket - t, axis=0)], axis=0)
         if self._gestsync_raw_fn is None:
+            use_pallas = jax.default_backend() != "cpu"
+
             def fn(params, frames, cut):
+                if use_pallas:
+                    # fused mask + s2d repack feeding the Pallas stem
+                    from jegal_tpu.ops.video import mask_frames_s2d
+
+                    x = mask_frames_s2d(frames, cut, dtype=self.dtype)
+                    return G.extract_features_x(params, x, chunk=160)
                 masked = mask_frames_device(frames, cut).astype(self.dtype)
                 return G.extract_features(params, masked, chunk=160)
 

@@ -146,7 +146,18 @@ def vgg_tower(params, x):
     return x
 
 
-def conv_tokens(params, frames, chunk: int = 160):
+def _pallas_stem_ok(frames) -> bool:
+    """Use the fused Pallas stem when on a real TPU backend and the frame
+    geometry fits the kernel's contract (s2d block 3, >=1 pool row/col)."""
+    t_pad, h, w, c = frames.shape
+    if jax.default_backend() == "cpu":
+        return False
+    return (c == 3 and h % 3 == 0 and w % 3 == 0
+            and h // 3 >= 5 and 5 <= w // 3 <= 254 and t_pad >= 5)
+
+
+def conv_tokens(params, frames, chunk: int = 160,
+                use_pallas: bool | None = None):
     """Run the conv tower once over the full padded sequence.
 
     frames: (T_pad, H, W, 3) -> tokens (T_pad - 4, 512).
@@ -155,7 +166,15 @@ def conv_tokens(params, frames, chunk: int = 160):
     k_t=5, all temporal strides are 1), so activation memory is bounded
     regardless of video length while remaining numerically identical to the
     single-pass conv.
+
+    On TPU the stem block (conv1+BN+ReLU+maxpool — ~80% of the tower time
+    under XLA, which caps at the K=27 contraction) runs as the fused Pallas
+    kernel (ops/pallas/stem.py); block 2 consumes its undecimated m-grid
+    output via a dilated conv and blocks 3-6 proceed unchanged. The XLA
+    path below is the fallback and the parity oracle.
     """
+    if use_pallas is None:
+        use_pallas = _pallas_stem_ok(frames)
     t_pad = frames.shape[0]
     t_out = t_pad - 4
     chunk = min(chunk, t_out)  # short buckets: don't pad to a full chunk
@@ -166,12 +185,55 @@ def conv_tokens(params, frames, chunk: int = 160):
 
     starts = jnp.arange(num_chunks) * chunk
 
+    if use_pallas:
+        from jegal_tpu.ops.pallas.stem import s2d_lanes
+
+        w_pool = (frames.shape[2] // 3 - 5) // 2 + 1
+        return conv_tokens_x(params, s2d_lanes(frames), w_pool, chunk=chunk)
+
     def one_chunk(start):
         piece = jax.lax.dynamic_slice_in_dim(frames, start, chunk + 4, axis=0)
         out = vgg_tower(params, piece[None])  # (1, chunk, 1, 1, 512)
         return out[0, :, 0, 0, :]
 
     toks = jax.lax.map(one_chunk, starts)  # (num_chunks, chunk, 512)
+    return toks.reshape(-1, D_MODEL)[:t_out]
+
+
+def conv_tokens_x(params, x, w_pool: int, chunk: int = 160,
+                  interpret: bool = False):
+    """Pallas-stem conv tower over pre-repacked input.
+
+    x: (T_pad, H3, 32, 256) s2d-lanes frames (ops/pallas/stem.s2d_lanes, or
+    ops/video.mask_frames_s2d which fuses the repack into the masking pass)
+    -> tokens (T_pad - 4, 512). w_pool: pooled stem width (78 for 480-wide
+    frames)."""
+    from jegal_tpu.ops.pallas.stem import mgrid_conv2, stem_kernel_params, stem_mgrid_x
+
+    t_pad = x.shape[0]
+    t_out = t_pad - 4
+    chunk = min(chunk, t_out)
+    num_chunks = -(-t_out // chunk)
+    pad_to = num_chunks * chunk + 4
+    x = jnp.pad(x, ((0, pad_to - t_pad), (0, 0), (0, 0), (0, 0)))
+    starts = jnp.arange(num_chunks) * chunk
+
+    lhs, scale, bias = stem_kernel_params(params["net_vid"][0])
+    blk2 = params["net_vid"][1]
+
+    def one_chunk(start):
+        piece = jax.lax.dynamic_slice_in_dim(x, start, chunk + 4, axis=0)
+        m = stem_mgrid_x(piece, lhs, scale, bias, interpret=interpret)
+        y = mgrid_conv2(m, blk2["conv"]["kernel"][0], w_pool)
+        if blk2["conv"].get("bias") is not None:
+            y = y + blk2["conv"]["bias"]
+        y = jax.nn.relu(batch_norm_inference(blk2["bn"], y))
+        h = y[None]  # (1, chunk, H2, W2, C2) NDHWC
+        for spec, blk in zip(VGG_SPEC[2:], params["net_vid"][2:]):
+            h = _conv_block(blk, spec, h)
+        return h[0, :, 0, 0, :]
+
+    toks = jax.lax.map(one_chunk, starts)
     return toks.reshape(-1, D_MODEL)[:t_out]
 
 
@@ -205,16 +267,29 @@ def window_head(params, tokens, batch: int | None = None):
 
 
 def extract_features(params, frames, chunk: int = 160,
-                     window_batch: int = 512):
+                     window_batch: int = 512,
+                     use_pallas: bool | None = None):
     """Full GestSync feature path: padded masked frames -> (T, 1024).
 
     frames: (T + 24, 270, 480, 3) float32 in [0,1] (edge-padded by caller).
     Long videos run the window transformer in static window_batch slices so
     activation memory stays bounded (matching the chunked conv)."""
-    tokens = conv_tokens(params, frames, chunk=chunk)  # (T + 20, 512)
+    tokens = conv_tokens(params, frames, chunk=chunk,
+                         use_pallas=use_pallas)  # (T + 20, 512)
     t = tokens.shape[0] - (TOKENS - 1)
     batch = window_batch if t > window_batch else None
     return window_head(params, tokens, batch=batch)  # (T, 1024)
+
+
+def extract_features_x(params, x, w_pool: int = 78, chunk: int = 160,
+                       window_batch: int = 512, interpret: bool = False):
+    """extract_features over pre-repacked s2d-lanes input (Pallas stem path;
+    x from ops/video.mask_frames_s2d): (T + 28, H3, 32, 256) -> (T, 1024)."""
+    tokens = conv_tokens_x(params, x, w_pool, chunk=chunk,
+                           interpret=interpret)
+    t = tokens.shape[0] - (TOKENS - 1)
+    batch = window_batch if t > window_batch else None
+    return window_head(params, tokens, batch=batch)
 
 
 def forward_vid_windowed(params, clips):

@@ -1,0 +1,252 @@
+"""Fused GestSync stem: space-to-depth conv + BN + ReLU + 3x3/2 max-pool.
+
+Replaces the reference stem (models/gestsync.py:35-45 conv1 k(5,7,7) s(1,3,3)
++ bn1 + relu + maxpool (1,3,3)/(1,2,2), applied in VGGNet.forward
+models/gestsync.py:308-313) — the single hottest op in the pipeline — with
+one Pallas TPU kernel. XLA's conv for this shape is capped by the K=27
+contraction (27/128 MXU lanes used); this kernel rebuilds the conv as dense
+K=480 matmuls and fuses everything through the pool so the 260 MB conv
+output never round-trips HBM.
+
+Decomposition (after space-to-depth with block 3, so all strides are 1):
+
+  * input X: (T4, H, 32, W256) — s2d channels (27, zero-padded to 32) in
+    sublanes, the 160 w-positions in lanes (zero-padded to 256),
+  * the kw taps (dw in {0,1,2}) are NOT part of the contraction: the three
+    dw weight matrices are stacked into the lhs M dim (192 = 3*64) and the
+    partial products are combined post-matmul with lane rolls,
+  * the kt (5) and kh (3) taps + 32 channels form a dense K=480 contraction,
+  * per output frame t, the rhs window lives at rows [96*t, 96*t+480) of the
+    DMA'd (tau, h, c) block — 8 frames are packed into one (480, 8*256)
+    matmul (the 256-lane slots keep every copy 128-aligned),
+  * BN is folded into a per-channel scale/bias, ReLU applied in-register,
+  * the 3x3/2 max-pool's h-window is the grid: cell (tb, j) computes conv
+    rows 2j+1, 2j+2 and carries row 2j from cell (tb, j-1) — no recompute;
+    the w-window is two more lane rolls; the stride-2 w-decimation and the
+    (o, w) -> (w, o) transpose happen in XLA on the pooled (4x smaller)
+    output.
+
+Output layout ("m-grid"): (T, J, 64, 256) with the pooled w at even lanes
+[0, 2, .., 2*(W_POOL-1)]; layer 2 consumes it directly via `mgrid_conv2`
+(w decimation folded in as conv dilation), or `fused_stem_pool` decimates
+to plain NDHWC for tests.
+
+Numerics: matmuls accumulate in f32, BN+ReLU in f32, pooled in the compute
+dtype — at least as accurate as the XLA path it replaces (conv -> bf16 ->
+BN). Parity is pinned against the XLA path in tests (interpret mode on
+small geometry + full-size on-chip).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+T_BLK = 8          # output frames per matmul (N = T_BLK * SLOT lanes)
+SLOT = 256         # lanes per frame slot (w 0..159 valid, 128-aligned)
+C_PAD = 32         # s2d channels 27 padded to one bf16 sublane tile
+M_DW = 192         # lhs rows: 3 dw taps x 64 output channels
+K_DIM = 480        # contraction: 5 kt x 3 kh x 32 c
+
+
+def _stem_kernel(x_ref, lhs_ref, scale_ref, bias_ref, o_ref,
+                 a0_ref, rhs_ref, rows_ref, sem_ref, *, n_tb, n_j, h_rows):
+    """Grid (n_tb, n_j), j innermost (sequential; rows_ref[0] carries
+    conv row 2j across j cells of the same tb block)."""
+    tb = pl.program_id(0)
+    j = pl.program_id(1)
+    k = tb * n_j + j
+    n_cells = n_tb * n_j
+    nlanes = T_BLK * SLOT
+
+    def dma(slot, tb_, j_):
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(tb_ * T_BLK, T_BLK + 4), pl.ds(2 * j_, 5)],
+            a0_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    # double-buffered input DMA: this cell's copy was started by the
+    # previous cell (or here for cell 0); start the next cell's now.
+    @pl.when(k == 0)
+    def _():
+        dma(0, tb, j).start()
+
+    @pl.when(k + 1 < n_cells)
+    def _():
+        nj = j + 1
+        dma((k + 1) % 2, tb + nj // n_j, nj % n_j).start()
+
+    dma(k % 2, tb, j).wait()
+    slot = k % 2
+
+    def compute_row(r):
+        """Conv row h = 2j + r for all T_BLK frames -> rows_ref[r]."""
+        for u in range(T_BLK):
+            v = a0_ref[slot, u:u + 5, r:r + 3, :, :]       # (5, 3, 32, 256)
+            rhs_ref[:, SLOT * u:SLOT * (u + 1)] = v.reshape(K_DIM, SLOT)
+        d = jax.lax.dot_general(
+            lhs_ref[...], rhs_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            # explicit: a global jax_default_matmul_precision=highest would
+            # otherwise request a multi-pass bf16 emulation Mosaic rejects
+            precision=jax.lax.Precision.DEFAULT)           # (192, nlanes)
+        # combine the 3 dw taps: y[w] = d0[w] + d1[w+1] + d2[w+2]
+        y = (d[0:64]
+             + pltpu.roll(d[64:128], shift=nlanes - 1, axis=1)
+             + pltpu.roll(d[128:192], shift=nlanes - 2, axis=1))
+        y = jnp.maximum(y * scale_ref[...] + bias_ref[...], 0.0)
+        rows_ref[r] = y.astype(rows_ref.dtype)
+
+    # pool row j needs conv rows {2j, 2j+1, 2j+2}; 2j is carried from the
+    # previous cell except at j == 0 (h_rows guard: tail grids where the
+    # last pool row would read past the valid conv rows never occur for
+    # H=270 inputs, but keep the static structure honest for tests).
+    @pl.when(j == 0)
+    def _():
+        compute_row(0)
+
+    compute_row(1)
+    compute_row(2)
+    del h_rows
+
+    m = jnp.maximum(rows_ref[0], jnp.maximum(rows_ref[1], rows_ref[2]))
+    # w-pool (k=3, s=2): max at every w; the pooled values live at even
+    # lanes ("m-grid"). Decimation is deferred: layer 2 consumes the m-grid
+    # directly as a w-dilated strided conv (see mgrid_conv2), so the only
+    # remaining work here is unpacking the 8 frame slots to t-major blocks.
+    m = jnp.maximum(m, jnp.maximum(
+        pltpu.roll(m, shift=nlanes - 1, axis=1),
+        pltpu.roll(m, shift=nlanes - 2, axis=1)))
+    m = m.astype(o_ref.dtype)
+    for u in range(T_BLK):
+        o_ref[u, 0] = m[:, SLOT * u:SLOT * (u + 1)]
+    rows_ref[0] = rows_ref[2]  # carry conv row 2j+2 = 2(j+1) to cell j+1
+
+
+def stem_kernel_params(blk, eps: float = 1e-5):
+    """Fold the stem conv kernel + BatchNorm into kernel operands.
+
+    blk: {"conv": {kernel (5,7,7,3,64), bias (64,)}, "bn": {...}} — the
+    net_vid[0] block (reference models/gestsync.py:35-45).
+    Returns (lhs (192, 480), scale (64, 1) f32, bias (64, 1) f32).
+    """
+    from jegal_tpu.models.gestsync import _s2d_kernel
+
+    k3 = _s2d_kernel(blk["conv"]["kernel"], 3)   # (5, 3, 3, 27, 64)
+    k3 = jnp.pad(k3, ((0, 0), (0, 0), (0, 0), (0, C_PAD - k3.shape[3]),
+                      (0, 0)))
+    # lhs rows (dw, o); K cols (dt, dh, c) — matches the rhs window layout
+    lhs = jnp.concatenate(
+        [k3[:, :, dw].reshape(K_DIM, 64).T for dw in range(3)], axis=0)
+
+    bn = blk["bn"]
+    scale = (bn["scale"].astype(jnp.float32)
+             * jax.lax.rsqrt(bn["var"].astype(jnp.float32) + eps))
+    bias = bn["bias"].astype(jnp.float32) - bn["mean"].astype(jnp.float32) * scale
+    cb = blk["conv"].get("bias")
+    if cb is not None:
+        bias = bias + cb.astype(jnp.float32) * scale
+    return lhs, scale[:, None], bias[:, None]
+
+
+def s2d_lanes(frames):
+    """(T4, H, W, 3) float -> (T4, H/3, 32, W_PAD) with w in lanes.
+
+    Channel order matches gestsync._s2d_kernel: c = (ri*3 + rj)*3 + ch.
+    """
+    t4, h, w, c = frames.shape
+    assert h % 3 == 0 and w % 3 == 0 and c == 3
+    # two-step form (measured ~25% faster than the one-shot 6D transpose):
+    # merge (w3, rj*3+ch), swap innermost, fold ri out of the row dim
+    x = frames.reshape(t4, h, w // 3, 9).transpose(0, 1, 3, 2)
+    x = x.reshape(t4, h // 3, 27, w // 3)
+    return jnp.pad(x, ((0, 0), (0, 0), (0, C_PAD - 27), (0, SLOT - w // 3)))
+
+
+def stem_mgrid(frames, lhs, scale, bias, interpret: bool = False):
+    """frames (T4, H, W, 3) [T4 = t_out + 4] -> m-grid (t_out, J, 64, SLOT).
+
+    The m-grid holds the pooled stem output with channels in sublanes and
+    the w axis UNDECIMATED in lanes: pooled value for w' sits at lane 2*w'
+    (lanes >= 2*w_pool are zero-based garbage, never to be read).
+    """
+    return stem_mgrid_x(s2d_lanes(frames), lhs, scale, bias,
+                        interpret=interpret)
+
+
+def stem_mgrid_x(x, lhs, scale, bias, interpret: bool = False):
+    """Pre-repacked entry: x (T4, H3, 32, SLOT) as produced by s2d_lanes /
+    ops.video.mask_frames_s2d (which fuses the repack into the masking
+    pass) -> m-grid (t_out, J, 64, SLOT)."""
+    t_out = x.shape[0] - 4
+    h_in = x.shape[1]                       # conv-domain h rows available
+    kh = 3                                  # block-space kernel extent
+    h_rows = h_in - kh + 1                  # conv output rows
+    n_j = (h_rows - 3) // 2 + 1             # pooled h rows
+    n_tb = -(-t_out // T_BLK)
+    t4_pad = n_tb * T_BLK + 4
+
+    x = jnp.pad(x, ((0, t4_pad - x.shape[0]), (0, 0), (0, 0), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_stem_kernel, n_tb=n_tb, n_j=n_j, h_rows=h_rows),
+        grid=(n_tb, n_j),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((M_DW, K_DIM), lambda tb, j: (0, 0)),
+            pl.BlockSpec((64, 1), lambda tb, j: (0, 0)),
+            pl.BlockSpec((64, 1), lambda tb, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((T_BLK, 1, 64, SLOT),
+                               lambda tb, j: (tb, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_tb * T_BLK, n_j, 64, SLOT),
+                                       x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, T_BLK + 4, 5, C_PAD, SLOT), x.dtype),
+            pltpu.VMEM((K_DIM, T_BLK * SLOT), x.dtype),
+            # f32: Mosaic's lane rotate (the w-pool shifts) is 32-bit only
+            pltpu.VMEM((3, 64, T_BLK * SLOT), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x, lhs.astype(x.dtype), scale, bias)
+    return out[:t_out]
+
+
+def mgrid_conv2(m, kernel, w_pool):
+    """VGG block-2 conv reading the m-grid directly (no decimation pass).
+
+    m: (T, J, 64, SLOT) m-grid; kernel: (5, 5, 64, C2) HWIO (the reference
+    conv2 k(1,5,5) s(1,2,2) p0, models/gestsync.py:47-53, temporal k=1).
+    The stride-2 w decimation is folded in as rhs_dilation=2 / stride=4 on
+    the m-grid lanes. Returns NHWC (T, J2, W2, C2) — downstream blocks
+    proceed in the standard layout.
+    """
+    w2 = (w_pool - kernel.shape[1]) // 2 + 1
+    lanes = 4 * (w2 - 1) + 2 * (kernel.shape[1] - 1) + 1
+    return jax.lax.conv_general_dilated(
+        m[:, :, :, :lanes], kernel, window_strides=(2, 4),
+        padding=[(0, 0), (0, 0)], rhs_dilation=(1, 2),
+        dimension_numbers=("NHCW", "HWIO", "NHWC"))
+
+
+def fused_stem_pool(frames, lhs, scale, bias, interpret: bool = False):
+    """frames (T4, H, W, 3) -> pooled stem output (t_out, J, W_pool, 64).
+
+    Numerically equivalent (modulo f32-vs-bf16 accumulation) to
+    conv3d(k(5,7,7), s(1,3,3)) + BN + ReLU + maxpool((1,3,3), (1,2,2)).
+    Parity/test entry point — production (gestsync.conv_tokens) keeps the
+    m-grid and feeds layer 2 via mgrid_conv2 instead of paying this
+    decimation relayout.
+    """
+    w_in = frames.shape[2] // 3
+    w_pool = (w_in - 2 - 3) // 2 + 1
+    out = stem_mgrid(frames, lhs, scale, bias, interpret=interpret)
+    out = out[:, :, :, 0:2 * w_pool:2]               # (t, j, 64, w)
+    return out.transpose(0, 1, 3, 2)                 # (t, j, w, 64)

@@ -1,0 +1,108 @@
+"""Fused Pallas stem kernel: parity vs the XLA conv path (interpret mode).
+
+The kernel replaces the reference stem conv1+BN+ReLU+maxpool
+(reference models/gestsync.py:35-45,308-313). Small geometry keeps the
+interpreter fast; full-size on-chip parity runs in the slow suite
+(test_stem_pallas_chip.py::test_full_size_parity).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from jegal_tpu.core.layers import batch_norm_inference, conv3d, max_pool3d
+from jegal_tpu.models import gestsync as G
+from jegal_tpu.ops.pallas import stem as S
+
+
+@pytest.fixture(scope="module")
+def params():
+    p = G.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    bn = p["net_vid"][0]["bn"]
+    bn["mean"] = jnp.asarray(rng.standard_normal(64), jnp.float32) * 0.1
+    bn["var"] = jnp.asarray(rng.random(64) + 0.5, jnp.float32)
+    bn["scale"] = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    bn["bias"] = jnp.asarray(rng.standard_normal(64), jnp.float32) * 0.1
+    return p
+
+
+def xla_stem(blk, frames):
+    y = conv3d(blk["conv"], frames[None], stride=(1, 3, 3), padding=(0, 0, 0))
+    y = batch_norm_inference(blk["bn"], y)
+    y = jax.nn.relu(y)
+    return max_pool3d(y, kernel=(1, 3, 3), stride=(1, 2, 2))[0]
+
+
+def test_fused_stem_parity_small(params, rng):
+    """conv+BN+ReLU+pool == kernel, non-multiple-of-8 t (tail padding)."""
+    blk = params["net_vid"][0]
+    frames = jnp.asarray(rng.random((13, 54, 96, 3)), jnp.float32)
+    ref = np.asarray(xla_stem(blk, frames), np.float32)
+    lhs, scale, bias = S.stem_kernel_params(blk)
+    out = np.asarray(
+        S.fused_stem_pool(frames, lhs, scale, bias, interpret=True),
+        np.float32)
+    assert ref.shape == out.shape
+    np.testing.assert_allclose(ref, out, atol=1e-4, rtol=1e-4)
+
+
+def test_stem_chunking_is_neutral(params, rng):
+    """The temporal chunk loop (4-frame halo) must be exactly neutral for
+    the Pallas stem path: 3 chunks of 8 == one chunk. (Full-tower parity at
+    the real 270x480 geometry runs on-chip in the slow suite.)"""
+    blk = params["net_vid"][0]
+    lhs, scale, bias = S.stem_kernel_params(blk)
+    frames = jnp.asarray(rng.random((28, 54, 96, 3)), jnp.float32)  # t=24
+    x = S.s2d_lanes(frames)
+
+    def mgrid_chunked(x, chunk):
+        t_out = x.shape[0] - 4
+        num_chunks = -(-t_out // chunk)
+        x = jnp.pad(x, ((0, num_chunks * chunk + 4 - x.shape[0]),
+                        (0, 0), (0, 0), (0, 0)))
+        outs = [
+            S.stem_mgrid_x(x[i * chunk:(i + 1) * chunk + 4],
+                           lhs, scale, bias, interpret=True)
+            for i in range(num_chunks)
+        ]
+        return jnp.concatenate(outs, axis=0)[:t_out]
+
+    one = np.asarray(mgrid_chunked(x, 24), np.float32)
+    three = np.asarray(mgrid_chunked(x, 8), np.float32)
+    np.testing.assert_array_equal(one, three)
+
+
+def test_mask_frames_s2d_matches_separate(rng):
+    """Fused mask+repack == mask_frames_device followed by s2d_lanes."""
+    from jegal_tpu.ops.video import mask_frames_device, mask_frames_s2d
+
+    u8 = jnp.asarray(rng.integers(0, 255, (7, 270, 480, 3)).astype(np.uint8))
+    y2 = jnp.asarray(rng.integers(90, 140, (7,)), jnp.int32)
+    a = np.asarray(S.s2d_lanes(
+        mask_frames_device(u8, y2).astype(jnp.float32)))
+    b = np.asarray(mask_frames_s2d(u8, y2, dtype=jnp.float32))
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(a, b)
+
+
+def test_mgrid_conv2_matches_decimated_conv(params, rng):
+    """Layer-2 dilated conv over the m-grid == plain conv over the
+    decimated NHWC stem output."""
+    blk = params["net_vid"][0]
+    blk2 = params["net_vid"][1]
+    frames = jnp.asarray(rng.random((9, 54, 96, 3)), jnp.float32)
+    lhs, scale, bias = S.stem_kernel_params(blk)
+    w_pool = (96 // 3 - 5) // 2 + 1
+    m = S.stem_mgrid(frames, lhs, scale, bias, interpret=True)
+    via_mgrid = np.asarray(
+        S.mgrid_conv2(m, blk2["conv"]["kernel"][0], w_pool), np.float32)
+
+    dec = S.fused_stem_pool(frames, lhs, scale, bias, interpret=True)
+    via_plain = np.asarray(jax.lax.conv_general_dilated(
+        dec, blk2["conv"]["kernel"][0], window_strides=(2, 2),
+        padding=[(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")), np.float32)
+    np.testing.assert_allclose(via_plain, via_mgrid, atol=1e-5, rtol=1e-5)

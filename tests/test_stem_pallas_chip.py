@@ -1,0 +1,46 @@
+"""Full-size Pallas stem parity on the real chip (slow suite).
+
+Pins the production path — fused mask+s2d repack -> Pallas stem kernel ->
+m-grid dilated conv2 -> blocks 3-6 -> window head — against the XLA tower
+at the real 270x480 geometry in bf16. Skipped on CPU (the kernel only
+compiles for TPU; the interpret-mode logic is covered by
+test_stem_pallas.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from jegal_tpu.models import gestsync as G
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="needs a TPU backend")
+def test_full_size_parity_bf16():
+    rng = np.random.default_rng(0)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                          G.init_params(jax.random.PRNGKey(0)))
+    frames = jnp.asarray(rng.random((53, 270, 480, 3), np.float32),
+                         jnp.bfloat16)
+
+    def ref_fn(f):
+        tokens = G.conv_tokens(params, f, chunk=160, use_pallas=False)
+        return G.window_head(params, tokens)
+
+    ref = np.asarray(jax.jit(ref_fn)(frames), np.float32)
+
+    from jegal_tpu.ops.pallas.stem import s2d_lanes
+
+    out = np.asarray(jax.jit(
+        lambda f: G.extract_features_x(params, s2d_lanes(f), chunk=160)
+    )(frames), np.float32)
+
+    assert ref.shape == out.shape == (53 - 24, 1024)
+    cos = (ref * out).sum(-1) / (
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1) + 1e-12)
+    # bf16-vs-bf16 with different (more accurate) stem accumulation
+    assert cos.min() > 1 - 1e-4, cos.min()
