@@ -300,6 +300,11 @@ int jegal_encode_video(const char* path, const uint8_t* rgb, int64_t nframes,
     auto write_packets = [&]() {
       while (avcodec_receive_packet(enc, pkt) >= 0) {
         av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
+        // explicit frame duration: the mov/mp4 muxer derives the track's
+        // sample table from packet durations and silently drops a
+        // zero-duration final sample on some demuxers
+        if (pkt->duration == 0)
+          pkt->duration = av_rescale_q(1, enc->time_base, st->time_base);
         pkt->stream_index = st->index;
         av_interleaved_write_frame(fmt, pkt);
       }
@@ -327,6 +332,144 @@ int jegal_encode_video(const char* path, const uint8_t* rgb, int64_t nframes,
   if (yuv) av_frame_free(&yuv);
   if (sws) sws_freeContext(sws);
   avcodec_free_context(&enc);
+  if (fmt && !(fmt->oformat->flags & AVFMT_NOFILE) && fmt->pb)
+    avio_closep(&fmt->pb);
+  avformat_free_context(fmt);
+  return rc;
+}
+
+// Encode packed RGB24 frames + mono s16 audio into ONE container (mpeg4
+// video + AAC audio; container from extension, .mp4 expected). The native
+// counterpart of the reference's audio/video merge step
+// (dataset/preprocess_videos.py:503-545: ffmpeg -i crop.avi -i crop.wav ->
+// merged .mp4 for visualization). Streams are fed interleaved by timestamp
+// so the muxer never buffers more than ~one frame ahead. Returns 0 on
+// success.
+int jegal_encode_av(const char* path, const uint8_t* rgb, int64_t nframes,
+                    int width, int height, double fps, const int16_t* pcm,
+                    int64_t nsamples, int sample_rate) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0 || !fmt)
+    return -1;
+  const AVCodec* vcodec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  const AVCodec* acodec = avcodec_find_encoder(AV_CODEC_ID_AAC);
+  if (!vcodec || !acodec) { avformat_free_context(fmt); return -2; }
+
+  AVStream* vst = avformat_new_stream(fmt, nullptr);
+  AVStream* ast = avformat_new_stream(fmt, nullptr);
+  AVCodecContext* venc = avcodec_alloc_context3(vcodec);
+  AVCodecContext* aenc = avcodec_alloc_context3(acodec);
+  venc->width = width;
+  venc->height = height;
+  venc->pix_fmt = AV_PIX_FMT_YUV420P;
+  venc->time_base = av_d2q(1.0 / fps, 100000);
+  venc->framerate = av_d2q(fps, 100000);
+  venc->bit_rate = static_cast<int64_t>(width) * height * 4;
+  aenc->sample_rate = sample_rate;
+  aenc->sample_fmt = AV_SAMPLE_FMT_FLTP;
+  av_channel_layout_default(&aenc->ch_layout, 1);
+  aenc->time_base = AVRational{1, sample_rate};
+  aenc->bit_rate = 96000;
+  if (fmt->oformat->flags & AVFMT_GLOBALHEADER) {
+    venc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    aenc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  }
+
+  int rc = -3;
+  SwsContext* sws = nullptr;
+  AVFrame* yuv = nullptr;
+  AVFrame* af = nullptr;
+  AVPacket* pkt = nullptr;
+  do {
+    if (avcodec_open2(venc, vcodec, nullptr) < 0) break;
+    if (avcodec_open2(aenc, acodec, nullptr) < 0) break;
+    if (avcodec_parameters_from_context(vst->codecpar, venc) < 0) break;
+    if (avcodec_parameters_from_context(ast->codecpar, aenc) < 0) break;
+    vst->time_base = venc->time_base;
+    ast->time_base = aenc->time_base;
+    if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
+        avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) break;
+    if (avformat_write_header(fmt, nullptr) < 0) break;
+
+    sws = sws_getContext(width, height, AV_PIX_FMT_RGB24, width, height,
+                         AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr, nullptr,
+                         nullptr);
+    yuv = av_frame_alloc();
+    yuv->format = AV_PIX_FMT_YUV420P;
+    yuv->width = width;
+    yuv->height = height;
+    av_frame_get_buffer(yuv, 0);
+    const int asamples = aenc->frame_size > 0 ? aenc->frame_size : 1024;
+    af = av_frame_alloc();
+    af->format = AV_SAMPLE_FMT_FLTP;
+    av_channel_layout_default(&af->ch_layout, 1);
+    af->sample_rate = sample_rate;
+    af->nb_samples = asamples;
+    av_frame_get_buffer(af, 0);
+    pkt = av_packet_alloc();
+
+    bool ok = true;
+    auto write_packets = [&](AVCodecContext* enc, AVStream* st,
+                             int64_t dur_tb) {
+      while (true) {
+        const int r = avcodec_receive_packet(enc, pkt);
+        if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
+        if (r < 0) { ok = false; break; }
+        av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
+        if (pkt->duration == 0)  // see jegal_encode_video note
+          pkt->duration = av_rescale_q(dur_tb, enc->time_base, st->time_base);
+        pkt->stream_index = st->index;
+        if (av_interleaved_write_frame(fmt, pkt) < 0) { ok = false; break; }
+      }
+    };
+
+    const size_t frame_bytes = static_cast<size_t>(width) * height * 3;
+    int64_t vi = 0;      // next video frame
+    int64_t apos = 0;    // next audio sample
+    while (ok && (vi < nframes || apos < nsamples)) {
+      const double vtime = vi / fps;
+      const double atime = static_cast<double>(apos) / sample_rate;
+      if (vi < nframes && (apos >= nsamples || vtime <= atime)) {
+        const uint8_t* src_data[1] = {rgb + vi * frame_bytes};
+        int src_linesize[1] = {width * 3};
+        av_frame_make_writable(yuv);
+        sws_scale(sws, src_data, src_linesize, 0, height, yuv->data,
+                  yuv->linesize);
+        yuv->pts = vi;
+        if (avcodec_send_frame(venc, yuv) < 0) ok = false;
+        write_packets(venc, vst, 1);
+        ++vi;
+      } else {
+        const int n = static_cast<int>(
+            std::min<int64_t>(asamples, nsamples - apos));
+        av_frame_make_writable(af);
+        float* dst = reinterpret_cast<float*>(af->data[0]);
+        for (int i = 0; i < n; ++i)
+          dst[i] = pcm[apos + i] / 32768.0f;
+        for (int i = n; i < asamples; ++i) dst[i] = 0.0f;
+        af->nb_samples = asamples;  // encoder wants full frames (AAC)
+        af->pts = apos;
+        if (avcodec_send_frame(aenc, af) < 0) ok = false;
+        write_packets(aenc, ast, asamples);
+        apos += n;
+      }
+    }
+    if (ok) {
+      avcodec_send_frame(venc, nullptr);
+      write_packets(venc, vst, 1);
+      avcodec_send_frame(aenc, nullptr);
+      write_packets(aenc, ast, asamples);
+      av_write_trailer(fmt);
+    }
+    rc = ok ? 0 : -4;
+  } while (false);
+
+  if (pkt) av_packet_free(&pkt);
+  if (yuv) av_frame_free(&yuv);
+  if (af) av_frame_free(&af);
+  if (sws) sws_freeContext(sws);
+  avcodec_free_context(&venc);
+  avcodec_free_context(&aenc);
   if (fmt && !(fmt->oformat->flags & AVFMT_NOFILE) && fmt->pb)
     avio_closep(&fmt->pb);
   avformat_free_context(fmt);

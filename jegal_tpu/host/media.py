@@ -67,6 +67,11 @@ def _get_lib():
             lib.jegal_encode_video.argtypes = [
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_double]
+            lib.jegal_encode_av.restype = ctypes.c_int
+            lib.jegal_encode_av.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int]
             _lib = lib
     return _lib
 
@@ -115,6 +120,27 @@ def encode_video(path: str, frames: np.ndarray, fps: float = 25.0) -> None:
         n, w, h, fps)
     if rc != 0:
         raise IOError(f"video encode failed ({rc}): {path}")
+
+
+def encode_av(path: str, frames: np.ndarray, samples: np.ndarray,
+              fps: float = 25.0, sample_rate: int = 16000) -> None:
+    """Mux video + audio into one container (mpeg4 + AAC; .mp4 expected) —
+    the native counterpart of the reference's merge step
+    (dataset/preprocess_videos.py:503-545 ffmpeg two-input shell-out).
+
+    frames: (N, H, W, 3) uint8 RGB; samples: mono int16-scale audio."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    samples = np.ascontiguousarray(samples, dtype=np.int16)
+    n, h, w, c = frames.shape
+    assert c == 3
+    lib = _get_lib()
+    rc = lib.jegal_encode_av(
+        path.encode(), frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, w, h, fps,
+        samples.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        len(samples), sample_rate)
+    if rc != 0:
+        raise IOError(f"a/v encode failed ({rc}): {path}")
 
 
 def write_wav(path: str, samples: np.ndarray, sample_rate: int = 16000) -> None:

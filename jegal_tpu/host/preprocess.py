@@ -227,9 +227,16 @@ def _pose_pixel_kps(frames):
 
 def process_video(video_file: str, preprocessed_root: str, fps: float = 25.0,
                   sample_rate: int = 16000, detector=None,
-                  keypoint_fn=_pose_pixel_kps) -> dict:
+                  keypoint_fn=_pose_pixel_kps,
+                  merge_dir: str | None = None) -> dict:
     """Full L1 stage: raw video -> `<root>/preprocessed/%05d.avi/.wav` +
-    tracks.pkl (reference process_video :400-476, in-memory, no temp dirs)."""
+    tracks.pkl (reference process_video :400-476, in-memory, no temp dirs).
+
+    merge_dir: also write `<merge_dir>/<fname>_%05d.mp4` per track with the
+    crop video AND its audio muxed into one container — the reference's
+    filter_and_merge visualization outputs
+    (dataset/preprocess_videos.py:503-545), via the native A/V encoder
+    instead of an ffmpeg two-input shell-out."""
     from jegal_tpu.host import media
 
     fname = os.path.basename(video_file).split(".")[0]
@@ -260,10 +267,17 @@ def process_video(video_file: str, preprocessed_root: str, fps: float = 25.0,
                                 if keypoint_fn else None)
         base = os.path.join(dest, "%05d" % i)
         media.encode_video(base + ".avi", np.asarray(crops, np.uint8), fps)
+        track_wav = None
         if wav is not None:
             start = int(track["frame"][0] / fps * sample_rate)
             end = int((track["frame"][-1] + 1) / fps * sample_rate)
-            media.write_wav(base + ".wav", wav[start:end], sample_rate)
+            track_wav = wav[start:end]
+            media.write_wav(base + ".wav", track_wav, sample_rate)
+        if merge_dir is not None and track_wav is not None:
+            os.makedirs(merge_dir, exist_ok=True)
+            media.encode_av(
+                os.path.join(merge_dir, f"{fname}_{i:05d}.mp4"),
+                np.asarray(crops, np.uint8), track_wav, fps, sample_rate)
         vidtracks.append({"track": {"frame": track["frame"],
                                     "bbox": track["bbox"]},
                           "proc_track": proc})

@@ -122,6 +122,90 @@ def test_tracker_and_crop(synth_video):
     assert crop.shape[0] == 50
 
 
+def test_av_mux_roundtrip(tmp_path, rng):
+    """Native A/V encode (mpeg4 + AAC in one .mp4) decodes with BOTH streams
+    and full frame count (reference filter_and_merge outputs,
+    dataset/preprocess_videos.py:503-545)."""
+    t, h, w = 30, 64, 96
+    frames = (rng.random((t, h, w, 3)) * 255).astype(np.uint8)
+    wav = (np.sin(2 * np.pi * 440 * np.arange(19200) / 16000) * 8000
+           ).astype(np.int16)
+    path = str(tmp_path / "merged.mp4")
+    media.encode_av(path, frames, wav, fps=25.0)
+    decoded, fps = media.decode_video(path)
+    assert decoded.shape == (t, h, w, 3)
+    assert fps == pytest.approx(25.0, abs=0.1)
+    audio = media.decode_audio(path, 16000)
+    # AAC pads to its 1024-sample frame grid; length within one frame
+    assert abs(len(audio) - len(wav)) <= 1024
+    # the tone survives the lossy codec: dominant frequency is ~440 Hz
+    spec = np.abs(np.fft.rfft(audio[2048:18432]))
+    peak_hz = np.argmax(spec) * 16000 / len(audio[2048:18432])
+    assert abs(peak_hz - 440) < 10, peak_hz
+
+
+def test_preprocess_merge_dir(synth_video, tmp_path, rng):
+    """preprocess --merge_dir parity with the reference's filter_and_merge:
+    per track, a merged .mp4 whose video matches the crop .avi and whose
+    audio matches the track's .wav slice."""
+
+    def fake_detector(frame):
+        mask = frame[:, :, 0] > 150
+        ys, xs = np.where(mask)
+        if len(xs) == 0:
+            return []
+        return [(xs.min(), ys.min(), xs.max(), ys.max(), 0.99)]
+
+    # build an input WITH an audio stream (the module fixture's avi has none)
+    _, frames, wav, _ = synth_video
+    src = str(tmp_path / "speaker.mp4")
+    media.encode_av(src, frames, wav, fps=25.0)
+
+    merge = str(tmp_path / "merged")
+    result = preprocess.process_video(
+        src, str(tmp_path / "out"), detector=fake_detector,
+        keypoint_fn=None, merge_dir=merge)
+    assert result["tracks"] == 1
+    merged = os.path.join(merge, "speaker_00000.mp4")
+    assert os.path.exists(merged)
+    vid, fps = media.decode_video(merged)
+    crop, _ = media.decode_video(os.path.join(result["dest"], "00000.avi"))
+    assert vid.shape == crop.shape
+    assert fps == pytest.approx(25.0, abs=0.1)
+    got = media.decode_audio(merged, 16000)
+    from jegal_tpu.ops.audio import load_wav
+
+    want = load_wav(os.path.join(result["dest"], "00000.wav"))
+    assert abs(len(got) - len(want)) <= 1024
+
+
+@pytest.mark.slow
+def test_native_runtime_sanitizers(tmp_path):
+    """The C++ media runtime under ASan+UBSan (SURVEY.md §5.2): every C-ABI
+    entry point incl. failure paths, zero leaks/UB (csrc/media_sanity.cc)."""
+    import subprocess
+
+    if not _have_toolchain():
+        pytest.skip("no g++")
+    csrc = os.path.join(os.path.dirname(media.__file__), "csrc")
+    binary = str(tmp_path / "media_sanity")
+    build = subprocess.run(
+        ["g++", "-std=c++17", "-g", "-O1",
+         "-fsanitize=address,undefined", "-fno-sanitize-recover=all",
+         os.path.join(csrc, "decoder.cc"),
+         os.path.join(csrc, "media_sanity.cc"),
+         "-o", binary,
+         "-lavformat", "-lavcodec", "-lavutil", "-lswscale", "-lswresample"],
+        capture_output=True, text=True)
+    if build.returncode != 0 and "asan" in build.stderr.lower():
+        pytest.skip("toolchain lacks libasan")
+    assert build.returncode == 0, build.stderr
+    run = subprocess.run([binary, str(tmp_path)], capture_output=True,
+                         text=True)
+    assert run.returncode == 0, run.stdout + run.stderr
+    assert "media_sanity OK" in run.stdout
+
+
 def test_tracker_gap_and_min_track():
     # two clusters separated by a >25-frame gap -> two tracks (2nd too short)
     dets = []
