@@ -88,7 +88,7 @@ def masked_attention_weights(scores, mask):
 
 # attention implementation switch: "dense" (reference-exact einsum),
 # "flash" (Pallas blockwise kernel), or "auto" (flash on TPU when the
-# shapes qualify: self-attention key mask, T % 128 == 0, head dim % 64 == 0)
+# shapes qualify — see _flash_ok)
 _ATTENTION_IMPL = "auto"
 
 
@@ -107,15 +107,34 @@ def _key_mask(mask, b: int, t: int):
     return False  # a genuinely 2-D (Tq, Tk) mask — flash path unsupported
 
 
+def _is_tpu() -> bool:  # patched in the coverage test
+    return jax.default_backend() == "tpu"
+
+
 def _flash_ok(t: int, d_k: int) -> bool:
+    """Auto-dispatch gate, sized to the production shape buckets.
+
+    Kernel constraints: T must tile into (<=128)-row blocks (one block when
+    T <= 128, else T % 128 == 0 — covers every power-of-two bucket in
+    jegal_tpu.data.bucketing) and d_k % 32 == 0 for lane tiling. Both JEGAL
+    encoder families qualify: gesture (512/8 -> d_k 64) and text
+    (768/8 -> d_k 96, verified on-chip). The 21-token GestSync window
+    transformer does NOT (21 % 8 != 0) and intentionally stays dense — at
+    that size attention is dispatch-bound and the dense einsum fuses into
+    the surrounding graph. The XLM-R encoder never reaches this function:
+    it carries its own HF-parity additive-mask attention
+    (models/roberta.py:66-82). Measured on-chip (v5e): flash <= dense at
+    every bucket from T=16 through T=512.
+    """
     if _ATTENTION_IMPL == "dense":
         return False
     if _ATTENTION_IMPL == "flash":
         return True
     return (
-        jax.default_backend() == "tpu"
-        and t % 128 == 0
-        and d_k % 64 == 0
+        _is_tpu()
+        and t % 8 == 0
+        and (t <= 128 or t % 128 == 0)
+        and d_k % 32 == 0
     )
 
 
