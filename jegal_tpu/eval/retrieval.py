@@ -63,3 +63,96 @@ def evaluate(path: str) -> dict:
         "c2g": compute_metrics(similarity_matrix(content, gesture)),
         "g2c": compute_metrics(similarity_matrix(gesture, content)),
     }
+
+
+# ---------------------------------------------------------------------------
+# On-device path (single chip or sharded over the 'data' mesh axis)
+# ---------------------------------------------------------------------------
+#
+# The similarity matrix + rank-of-diagonal reduction as one jit graph
+# (SURVEY.md §5.8/§7: the natural multi-chip eval — rows shard over 'data',
+# the replicated key matrix makes each row block's ranks local, metrics are
+# scalar psum-style reductions XLA inserts from the shardings). Numerically
+# equal to the numpy path above whenever the similarity values are tie-free
+# (the reference's sort-based tie handling is ill-defined on exact ties —
+# evaluate_retrieval.py:51-57 emits multiple indices per tied row).
+
+
+def _metrics_on_device(emb_q, emb_k, valid):
+    """emb_q, emb_k: (N, D) float32 (N possibly padded); valid: (N,) 1/0.
+
+    rank_i = #{valid j : sim[i, j] > sim[i, i]} — the 0-based rank of the
+    diagonal, identical to the numpy sort path without ties.
+    """
+    import jax.numpy as jnp
+
+    def norm(x):
+        n = jnp.linalg.norm(x, axis=1, keepdims=True)
+        return x / jnp.maximum(n, 1e-12)
+
+    qn, kn = norm(emb_q), norm(emb_k)
+    sim = qn @ kn.T                                   # (N, N), row-sharded
+    # the diagonal must come from the SAME matmul values the ranks compare
+    # against (a separate sum(qn*kn) can differ by 1 ulp and break the
+    # strict > below); the indicator-sum keeps the extraction shardable
+    idx = jnp.arange(sim.shape[0])
+    eye = (idx[:, None] == idx[None, :]).astype(sim.dtype)
+    diag = jnp.sum(sim * eye, axis=1)                 # (N,) = sim[i, i]
+    beats = (sim > diag[:, None]) & (valid[None, :] == 1.0)
+    ranks = jnp.sum(beats, axis=1).astype(jnp.float32)
+    n = jnp.sum(valid)
+    rowmask = valid == 1.0
+
+    def recall(k):
+        return jnp.sum(jnp.where(rowmask, (ranks < k).astype(jnp.float32), 0.0)) / n
+
+    # median over valid rows (np.median semantics: mean of the two middles)
+    s = jnp.sort(jnp.where(rowmask, ranks, jnp.inf))
+    ni = n.astype(jnp.int32)
+    lo = jnp.take(s, (ni - 1) // 2)
+    hi = jnp.take(s, ni // 2)
+    return {
+        "R1": recall(1), "R5": recall(5), "R10": recall(10),
+        "R25": recall(25), "R50": recall(50),
+        "MR": (lo + hi) / 2.0 + 1.0,
+    }
+
+
+def compute_metrics_device(emb_q: np.ndarray, emb_k: np.ndarray,
+                           mesh=None) -> dict:
+    """Device-side compute_metrics. With a mesh, query rows shard over
+    'data' (keys replicate; each shard's ranks are local, ICI only sees the
+    final scalar reductions)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = emb_q.shape[0]
+    n_pad = n
+    if mesh is not None:
+        d = mesh.shape.get("data", 1)
+        n_pad = ((n + d - 1) // d) * d
+    q = np.zeros((n_pad, emb_q.shape[1]), np.float32)
+    k = np.zeros((n_pad, emb_k.shape[1]), np.float32)
+    q[:n], k[:n] = emb_q, emb_k
+    valid = np.zeros((n_pad,), np.float32)
+    valid[:n] = 1.0
+    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(valid))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        args = (
+            jax.device_put(args[0], NamedSharding(mesh, P("data"))),
+            jax.device_put(args[1], NamedSharding(mesh, P())),
+            jax.device_put(args[2], NamedSharding(mesh, P())),
+        )
+    out = jax.jit(_metrics_on_device)(*args)
+    return {kk: float(v) for kk, v in out.items()}
+
+
+def evaluate_device(path: str, mesh=None) -> dict:
+    """evaluate(), with the O(N^2) similarity/rank math on device."""
+    gesture, content, _ = load_video_level_embeddings(path)
+    return {
+        "c2g": compute_metrics_device(content, gesture, mesh),
+        "g2c": compute_metrics_device(gesture, content, mesh),
+    }

@@ -55,6 +55,38 @@ def test_retrieval_known_ranks():
     assert m["MR"] == 2.0
 
 
+def test_retrieval_device_matches_numpy(rng):
+    """On-device similarity/rank path == numpy path at the 500-row AVS-Ret
+    scale (single device, no mesh)."""
+    q = rng.standard_normal((500, 512)).astype(np.float32)
+    k = 0.7 * q + 0.3 * rng.standard_normal((500, 512)).astype(np.float32)
+    host = retrieval.compute_metrics(retrieval.similarity_matrix(q, k))
+    dev = retrieval.compute_metrics_device(q, k)
+    assert host == pytest.approx(dev)
+
+
+def test_retrieval_device_mesh_sharded(rng):
+    """Rows sharded over the 8-device 'data' axis (with the 500->504 pad
+    masked out) reproduce the host metrics exactly."""
+    import jax
+
+    from jegal_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(len(jax.devices()), model_parallel=1)
+    q = rng.standard_normal((500, 512)).astype(np.float32)
+    k = 0.7 * q + 0.3 * rng.standard_normal((500, 512)).astype(np.float32)
+    host = retrieval.compute_metrics(retrieval.similarity_matrix(q, k))
+    dev = retrieval.compute_metrics_device(q, k, mesh=mesh)
+    assert host == pytest.approx(dev)
+
+
+def test_retrieval_evaluate_device(emb_dir):
+    res = retrieval.evaluate_device(emb_dir)
+    host = retrieval.evaluate(emb_dir)
+    for mode in ("c2g", "g2c"):
+        assert res[mode] == pytest.approx(host[mode])
+
+
 def test_spotting_hit_and_miss(rng):
     t, d = 40, 16
     rng2 = np.random.default_rng(1)
