@@ -107,10 +107,6 @@ def _key_mask(mask, b: int, t: int):
     return False  # a genuinely 2-D (Tq, Tk) mask — flash path unsupported
 
 
-def _is_tpu() -> bool:  # patched in the coverage test
-    return jax.default_backend() == "tpu"
-
-
 def _flash_ok(t: int, d_k: int) -> bool:
     """Auto-dispatch gate, sized to the production shape buckets.
 
@@ -125,14 +121,18 @@ def _flash_ok(t: int, d_k: int) -> bool:
     it carries its own HF-parity additive-mask attention
     (models/roberta.py:66-82). Measured on-chip (v5e): flash <= dense at
     every bucket from T=16 through T=512.
+
+    When this passes under 'auto', the TPU-vs-other choice is deferred to
+    LOWERING time via jax.lax.platform_dependent — the default backend says
+    nothing about where a jit actually runs (a TPU-attached process can
+    still run CPU-placed graphs, e.g. bench.py's CPU baseline).
     """
     if _ATTENTION_IMPL == "dense":
         return False
     if _ATTENTION_IMPL == "flash":
         return True
     return (
-        _is_tpu()
-        and t % 8 == 0
+        t % 8 == 0
         and (t <= 128 or t % 128 == 0)
         and d_k % 32 == 0
     )
@@ -153,23 +153,39 @@ def multi_head_attention(params, q_in, k_in, v_in, mask, num_heads: int):
     v = _split_heads(linear(params["v"], v_in), num_heads)
     b, _, t, d_k = q.shape
 
+    def dense(q, k, v):
+        m = mask
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.float32(d_k))
+        if m is not None:
+            while m.ndim < 4:
+                m = m[:, None]
+        p = masked_attention_weights(scores, m).astype(dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", p, v,
+                         preferred_element_type=jnp.float32)
+        return out.astype(dtype)
+
     if q_in is k_in and t == k.shape[2] and _flash_ok(t, d_k):
         kmask = _key_mask(mask, b, t)
         if kmask is not False:
             from jegal_tpu.ops.pallas.flash_attention import flash_attention_diff
 
-            out = flash_attention_diff(
-                q, k, v, kmask, 128, 128, jax.default_backend() != "tpu")
+            def flash(q, k, v):
+                return flash_attention_diff(q, k, v, kmask, 128, 128, False)
+
+            if _ATTENTION_IMPL == "flash":  # forced (tests/CPU interpret)
+                out = flash_attention_diff(
+                    q, k, v, kmask, 128, 128,
+                    jax.default_backend() != "tpu")
+            else:
+                # per-backend choice at LOWERING time: the kernel only on
+                # TPU, the reference einsum everywhere else
+                out = jax.lax.platform_dependent(
+                    q, k, v, tpu=flash, default=dense)
             return linear(params["o"], _merge_heads(out))
 
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    scores = scores / jnp.sqrt(jnp.float32(d_k))
-    if mask is not None:
-        while mask.ndim < 4:
-            mask = mask[:, None]
-    p = masked_attention_weights(scores, mask).astype(dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", p, v, preferred_element_type=jnp.float32)
-    return linear(params["o"], _merge_heads(out.astype(dtype)))
+    return linear(params["o"], _merge_heads(dense(q, k, v)))
 
 
 def _ffn(params, x):

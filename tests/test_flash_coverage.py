@@ -32,9 +32,10 @@ import __graft_entry__ as GE
 
 @pytest.fixture
 def count_flash(monkeypatch):
-    """Patch the backend check to TPU and count kernel dispatches during
-    tracing (dispatch is decided at trace time; eval_shape is enough)."""
-    monkeypatch.setattr(T, "_is_tpu", lambda: True)
+    """Count kernel dispatches during tracing. The auto path defers the
+    TPU-vs-other choice to lowering (jax.lax.platform_dependent), so the
+    kernel branch is TRACED on every backend — a trace-time count tells
+    exactly which graphs carry the kernel when lowered for TPU."""
     calls = []
     real = FA.flash_attention_diff
 
