@@ -62,11 +62,30 @@ class JegalEngine:
     transcriber: Callable | None = None        # optional ASR backend (wav -> transcript file)
     fusion_strategy: str = "concat"            # 'concat' (reference default) | 'avg'
     dtype: Any = jnp.float32
+    max_cached_graphs: int = 64                # compiled (combo, bucket) budget
 
     def __post_init__(self):
+        # compute dtype applies to parameters too: with fp32 params a bf16
+        # engine would silently promote every matmul back to fp32 (and
+        # hard-crash convs on mixed dtypes) — cast once here instead
+        if self.dtype != jnp.float32:
+            def cast(tree):
+                if tree is None:
+                    return None
+                return jax.tree.map(
+                    lambda x: x.astype(self.dtype)
+                    if hasattr(x, "dtype")
+                    and jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+            self.jegal_params = cast(self.jegal_params)
+            self.roberta_params = cast(self.roberta_params)
+            self.gestsync_params = cast(self.gestsync_params)
         self._combo_cache: dict = {}
         self._gestsync_fn = None
         self._gestsync_raw_fn = None
+        self._gestsync_batch_fn = None
+        self._graph_ledger: dict = {}          # (combo, shape sig) -> seq no
+        self._graph_seq = 0
 
     # ------------------------------------------------------------------
     # Visual features (GestSync)
@@ -137,6 +156,67 @@ class JegalEngine:
                 self.gestsync_params, jnp.asarray(frames_u8))
         return np.asarray(feats[:t])
 
+    def gestsync_features_from_raw_many(
+            self, clips: list, batch_size: int = 8) -> list:
+        """Cross-video tower batching: clips is a list of
+        (frames_u8 (T, 270, 480, 3), chin_rows (T,) | None) tuples; returns
+        per-clip (T, 1024) features.
+
+        Same-T-bucket clips stack into ONE batched tower dispatch
+        (models/gestsync.extract_features_batch) instead of one launch +
+        host round-trip per video — the r1 driver's dominant per-clip
+        overhead for short clips (VERDICT r1 item 2 / weak 5)."""
+        from jegal_tpu.ops.video import FALLBACK_ROWS
+
+        if self.gestsync_params is None:
+            raise RuntimeError("engine has no GestSync parameters")
+        if self._gestsync_batch_fn is None:
+            use_pallas = jax.default_backend() != "cpu"
+
+            def fn(params, frames, cut):
+                if use_pallas:
+                    from jegal_tpu.ops.video import mask_frames_s2d
+
+                    x = jax.vmap(
+                        lambda f, c: mask_frames_s2d(f, c, dtype=self.dtype)
+                    )(frames, cut)
+                    return G.extract_features_batch(params, x, chunk=160)
+                from jegal_tpu.ops.video import mask_frames_device
+
+                masked = jax.vmap(mask_frames_device)(frames, cut)
+                return G.extract_features_batch(
+                    params, masked.astype(self.dtype), chunk=160)
+
+            self._gestsync_batch_fn = jax.jit(fn)
+
+        # group by T bucket; pad B up to batch_size (one jit per (bucket, B))
+        groups: dict = {}
+        for i, (frames, _) in enumerate(clips):
+            groups.setdefault(next_bucket(frames.shape[0], T_BUCKETS),
+                              []).append(i)
+        results: list = [None] * len(clips)
+        for t_bucket, idxs in groups.items():
+            for lo in range(0, len(idxs), batch_size):
+                chunk_idx = idxs[lo : lo + batch_size]
+                bsz = batch_size if len(idxs) > batch_size else len(chunk_idx)
+                fr = np.zeros((bsz, t_bucket, 270, 480, 3), np.uint8)
+                cut = np.full((bsz, t_bucket), FALLBACK_ROWS, np.int32)
+                for bi, ci in enumerate(chunk_idx):
+                    frames, chin = clips[ci]
+                    t = frames.shape[0]
+                    fr[bi, :t] = frames
+                    fr[bi, t:] = frames[-1]  # edge-repeat to the bucket
+                    if chin is not None:
+                        chin = np.asarray(chin, np.int32)
+                        cut[bi, :t] = chin
+                        cut[bi, t:] = chin[-1]
+                feats = self._gestsync_batch_fn(
+                    self.gestsync_params, jnp.asarray(fr), jnp.asarray(cut))
+                feats = np.asarray(feats)
+                for bi, ci in enumerate(chunk_idx):
+                    results[ci] = feats[bi, : clips[ci][0].shape[0]]
+        return results
+
     # ------------------------------------------------------------------
     # Core forward (jitted per combo+bucket)
     # ------------------------------------------------------------------
@@ -153,9 +233,41 @@ class JegalEngine:
                 )
 
             self._combo_cache[combo_key] = jax.jit(fn)
+        self._account_graph(combo_key, arrays)
         return self._combo_cache[combo_key](
             self.jegal_params, self.roberta_params, **arrays
         )
+
+    def _account_graph(self, combo_key, arrays):
+        """LRU ledger of compiled (combo, shape-bucket) graphs. When the
+        budget is exceeded, the least-recently-used COMBO's jit cache is
+        dropped (jax caches per shape inside one jitted callable, so
+        per-combo is the finest eviction granularity). The bucket tables
+        keep the steady-state footprint far below the default budget — the
+        bound exists so a pathological client (many exotic shapes) cannot
+        grow device memory without limit."""
+        sig = (combo_key,
+               tuple(sorted((k, tuple(v.shape)) for k, v in arrays.items())))
+        self._graph_seq += 1
+        self._graph_ledger[sig] = self._graph_seq
+        if len(self._graph_ledger) <= self.max_cached_graphs:
+            return
+        by_combo: dict = {}
+        for (combo, _), seq in self._graph_ledger.items():
+            by_combo[combo] = max(by_combo.get(combo, 0), seq)
+        victim = min((c for c in by_combo if c != combo_key),
+                     key=by_combo.get, default=None)
+        if victim is None:
+            return
+        self._combo_cache[victim].clear_cache()
+        self._graph_ledger = {k: v for k, v in self._graph_ledger.items()
+                              if k[0] != victim}
+
+    @property
+    def cached_graphs(self) -> list:
+        """Compiled (combo, shapes) signatures, oldest first."""
+        return [k for k, _ in sorted(self._graph_ledger.items(),
+                                     key=lambda kv: kv[1])]
 
     # ------------------------------------------------------------------
     # Host-side preparation per modality
@@ -396,6 +508,36 @@ class JegalEngine:
         out = self._forward((use_v, use_t, use_a), arrays)
         for leaf in jax.tree.leaves(out):
             np.asarray(leaf).ravel()[:1]  # force compile + execute
+
+    def warmup_all(self, combos=("vta", "vt", "va", "ta", "v", "t", "a"),
+                   t_buckets=(128,), s_buckets=(64,), w_buckets=(16,),
+                   mel_buckets=(512,), batch: int = 1) -> list[dict]:
+        """Precompile the full serving surface: every modality combo at the
+        given shape buckets (cross product per combo's relevant axes).
+        Returns one record per graph with its compile+execute seconds —
+        the warm-start budget table for docs/DEPLOYMENT.md."""
+        import itertools
+        import time
+
+        records = []
+        for combo in combos:
+            axes: dict = {}
+            if "v" in combo:
+                axes["t"] = t_buckets
+            if "t" in combo:
+                axes["s"] = s_buckets
+                axes["w"] = w_buckets
+            if "a" in combo:
+                axes["w"] = w_buckets
+                axes["mel"] = mel_buckets
+            keys = sorted(axes)
+            for shape in itertools.product(*(axes[k] for k in keys)):
+                kw = dict(zip(keys, shape))
+                t0 = time.perf_counter()
+                self.warmup(modalities=combo, batch=batch, **kw)
+                records.append({"combo": combo, **kw, "batch": batch,
+                                "seconds": round(time.perf_counter() - t0, 3)})
+        return records
 
     def extract_to_pkl(self, res_dir: str, **kw) -> str | None:
         feats = self.extract(**kw)

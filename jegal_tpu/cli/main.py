@@ -75,6 +75,13 @@ def build_parser():
     p.add_argument("--checkpoint_path", required=True)
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--nshard", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help=">1 stacks same-length clips into one batched "
+                        "GestSync tower dispatch")
+    p.add_argument("--decode_workers", type=int, default=4,
+                   help="parallel C++ decode threads feeding the device "
+                        "loop (decode is ~181 ms/clip on one core; the "
+                        "ctypes call releases the GIL so threads scale)")
     p.add_argument("--bf16", action="store_true")
 
     p = sub.add_parser("extract-embs",
@@ -95,7 +102,10 @@ def build_parser():
                         "devices the batch shards over the 'data' mesh axis")
     p.add_argument("--bf16", action="store_true")
 
-    _add_common_eval(sub, "eval-retrieval", "AVS-Ret cross-modal retrieval")
+    p = _add_common_eval(sub, "eval-retrieval", "AVS-Ret cross-modal retrieval")
+    p.add_argument("--on_device", action="store_true",
+                   help="similarity/rank math as a jit graph; with multiple "
+                        "devices the rows shard over the 'data' mesh axis")
 
     p = _add_common_eval(sub, "eval-spotting", "AVS-Spot word spotting")
     p.add_argument("--threshold", type=float, default=0.5)
@@ -117,6 +127,10 @@ def build_parser():
     p.add_argument("--video_root", default=None,
                    help="directory of downloaded videos (CSV mode)")
     p.add_argument("--preprocessed_root", required=True)
+    p.add_argument("--merge_dir", default=None,
+                   help="also write merged <fname>_%%05d.mp4 (crop video + "
+                        "audio muxed, reference preprocess_videos.py "
+                        "filter_and_merge)")
     p.add_argument("--fps", type=float, default=25.0)
     p.add_argument("--sample_rate", type=int, default=16000)
     p.add_argument("--rank", type=int, default=0)
@@ -135,6 +149,43 @@ def build_parser():
     p.add_argument("--res_dir", required=True)
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--nshard", type=int, default=1)
+
+    p = sub.add_parser("verify",
+                       help="one-command real-weight verification: convert, "
+                            "extract the demo samples under every combo, "
+                            "diff against reference goldens, smoke the evals")
+    p.add_argument("--checkpoint_path_jegal", required=True)
+    p.add_argument("--checkpoint_path_gestsync", default=None)
+    p.add_argument("--roberta_path", default=None)
+    p.add_argument("--tokenizer_path", default=None)
+    p.add_argument("--samples_dir", required=True,
+                   help="directory with sample{1,2}.{avi,wav,txt} "
+                        "(the reference repo's samples/)")
+    p.add_argument("--golden_dir", default=None,
+                   help="reference-generated .pkl goldens "
+                        "(<sample>_<combo>.pkl); omit to only check "
+                        "schema/shapes")
+    p.add_argument("--res_dir", default="verify_out")
+    p.add_argument("--tolerance", type=float, default=1e-3,
+                   help="per-row cosine must exceed 1 - tolerance")
+    p.add_argument("--bf16", action="store_true")
+
+    p = sub.add_parser("warmup",
+                       help="precompile serving graphs ahead of traffic")
+    p.add_argument("--checkpoint_path", required=True)
+    p.add_argument("--roberta_path", default=None)
+    p.add_argument("--tokenizer_path", default=None)
+    p.add_argument("--checkpoint_path_gestsync", default=None)
+    p.add_argument("--all_combos", action="store_true",
+                   help="warm every modality combo (default: only --modalities)")
+    p.add_argument("--modalities", default="vta",
+                   choices=["vta", "vt", "va", "ta", "v", "t", "a"])
+    p.add_argument("--t_buckets", type=int, nargs="+", default=[128])
+    p.add_argument("--s_buckets", type=int, nargs="+", default=[64])
+    p.add_argument("--w_buckets", type=int, nargs="+", default=[16])
+    p.add_argument("--mel_buckets", type=int, nargs="+", default=[512])
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--bf16", action="store_true")
 
     p = sub.add_parser("convert", help="convert checkpoints to native .npz")
     p.add_argument("--model", required=True,
@@ -291,13 +342,13 @@ def _try_keypoints(frames):
         return None
 
 
-def _video_features(engine, video_path):
-    """Decode -> (keypoints) -> on-device mask -> GestSync features.
+def _decode_for_features(video_path):
+    """Host-side half of the feature path: decode -> (keypoints) -> chin
+    lines. Runs on a prefetch thread in the batch driver (no device work).
 
-    Fast path: the decoder resizes to 480x270 in C (swscale) and masking
-    runs inside the GestSync jit graph. With a keypoint backend installed,
-    the original-resolution frames feed MediaPipe first (gesture-visibility
-    gate + chin lines, reference inference_embs.py:195-286)."""
+    -> (frames_u8 (T, 270, 480, 3), chin_rows | None), or None when the
+    gesture-visibility gate rejects the video
+    (reference inference_embs.py:195-233)."""
     from jegal_tpu.host import masking, media
 
     keypoints = None
@@ -306,24 +357,35 @@ def _video_features(engine, video_path):
         import mediapipe  # noqa: F401 -- probe before decoding full-res
 
         frames_full, _ = media.decode_video(video_path, target_fps=0.0)
-        print(f"Input video frames: {frames_full.shape}")
         keypoints = _try_keypoints(frames_full)
         if not masking.check_visible_gestures(keypoints):
-            print("The gestures in the input video are not visible! "
-                  "Please give a video with visible gestures as input.")
-            sys.exit(0)
+            return None
         if keypoints is not None:
             from jegal_tpu.ops.video import chin_lines
 
             chin_rows = chin_lines(keypoints, frames_full.shape[1:3])
     except ImportError:
-        print("[warn] no keypoint backend (mediapipe not installed); "
-              "using fallback top-strip mask")
+        pass
 
     frames, _ = media.decode_video(video_path, target_w=480, target_h=270,
                                    target_fps=0.0)
-    if keypoints is None:
-        print(f"Input video frames (decoder-resized): {frames.shape}")
+    return frames, chin_rows
+
+
+def _video_features(engine, video_path):
+    """Decode -> (keypoints) -> on-device mask -> GestSync features.
+
+    Fast path: the decoder resizes to 480x270 in C (swscale) and masking
+    runs inside the GestSync jit graph. With a keypoint backend installed,
+    the original-resolution frames feed MediaPipe first (gesture-visibility
+    gate + chin lines, reference inference_embs.py:195-286)."""
+    decoded = _decode_for_features(video_path)
+    if decoded is None:
+        print("The gestures in the input video are not visible! "
+              "Please give a video with visible gestures as input.")
+        sys.exit(0)
+    frames, chin_rows = decoded
+    print(f"Input video frames (decoder-resized): {frames.shape}")
     print("Extracting GestSync features...")
     return engine.gestsync_features_from_raw(frames, chin_rows)
 
@@ -335,6 +397,14 @@ def _transcribe(audio_path, res_dir):
 
 
 def cmd_extract_feats(args):
+    """GestSync feature bank builder with host/device pipelining: a decode
+    prefetch thread feeds a bounded queue while the chip runs the batched
+    tower (same-bucket clips share one dispatch —
+    engine.gestsync_features_from_raw_many). Reference counterpart is the
+    strictly serial extract_gestsync_feats.py:273-351 loop."""
+    import queue
+    import threading
+
     import numpy as np
     import pandas as pd
 
@@ -351,22 +421,86 @@ def cmd_extract_feats(args):
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     os.makedirs(args.res_dir, exist_ok=True)
-    done = skipped = failed = 0
+    stats = {"done": 0, "skipped": 0, "failed": 0}
+
+    pending = []
     for f in files:
         out = os.path.join(args.res_dir, f + ".npy")
         if os.path.exists(out):  # idempotent file-level resume
-            skipped += 1
+            stats["skipped"] += 1
+        else:
+            pending.append((f, out))
+
+    q: queue.Queue = queue.Queue(maxsize=max(2, args.batch_size))
+    workers = max(1, getattr(args, "decode_workers", 1))
+
+    def feeder():
+        """Decode on a worker pool, deliver in submission order through the
+        bounded queue (q.put blocks -> in-flight decoded frames are capped
+        at queue size + pool size, the SURVEY §5.2 bounded-lookahead
+        design)."""
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            futs: collections.deque = collections.deque()
+            it = iter(pending)
+
+            def submit_next():
+                try:
+                    f, out = next(it)
+                except StopIteration:
+                    return
+                video = os.path.join(args.video_dir, f + ".avi")
+                futs.append((f, out,
+                             ex.submit(_decode_for_features, video)))
+
+            for _ in range(workers + 1):
+                submit_next()
+            while futs:
+                f, out, fut = futs.popleft()
+                try:
+                    q.put((f, out, fut.result(), None))
+                except Exception as e:
+                    q.put((f, out, None, e))
+                submit_next()
+        q.put(None)
+
+    threading.Thread(target=feeder, daemon=True).start()
+
+    batch: list = []
+
+    def flush():
+        if not batch:
+            return
+        feats = engine.gestsync_features_from_raw_many(
+            [(fr, chin) for _, _, (fr, chin) in batch],
+            batch_size=args.batch_size)
+        for (f, out, _), feat in zip(batch, feats):
+            os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+            np.save(out, feat)
+            stats["done"] += 1
+        batch.clear()
+
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        f, out, decoded, err = item
+        if err is not None:  # structured error ledger, not silent skip
+            stats["failed"] += 1
+            print(json.dumps({"file": f, "error": str(err)}), file=sys.stderr)
             continue
-        try:
-            video = os.path.join(args.video_dir, f + ".avi")
-            feats = _video_features(engine, video)
-            os.makedirs(os.path.dirname(out), exist_ok=True)
-            np.save(out, feats)
-            done += 1
-        except Exception as e:  # structured error ledger, not silent skip
-            failed += 1
-            print(json.dumps({"file": f, "error": str(e)}), file=sys.stderr)
-    print(json.dumps({"done": done, "skipped": skipped, "failed": failed}))
+        if decoded is None:  # gesture-visibility gate rejected the video
+            stats["failed"] += 1
+            print(json.dumps({"file": f, "error": "gestures not visible"}),
+                  file=sys.stderr)
+            continue
+        batch.append((f, out, decoded))
+        if len(batch) >= args.batch_size:
+            flush()
+    flush()
+    print(json.dumps(stats))
 
 
 def cmd_extract_embs(args):
@@ -398,7 +532,17 @@ def cmd_extract_embs(args):
 def cmd_eval_retrieval(args):
     from jegal_tpu.eval import retrieval
 
-    res = retrieval.evaluate(args.path)
+    if args.on_device:
+        import jax
+
+        mesh = None
+        if len(jax.devices()) > 1:
+            from jegal_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(len(jax.devices()), model_parallel=1)
+        res = retrieval.evaluate_device(args.path, mesh)
+    else:
+        res = retrieval.evaluate(args.path)
     print(json.dumps(res, indent=2))
 
 
@@ -432,7 +576,8 @@ def cmd_preprocess(args):
         raise SystemExit("specify exactly one of --video_file / --file_path")
     if args.video_file:
         result = process_video(args.video_file, args.preprocessed_root,
-                               fps=args.fps, sample_rate=args.sample_rate)
+                               fps=args.fps, sample_rate=args.sample_rate,
+                               merge_dir=args.merge_dir)
         print(json.dumps(result))
         return
     # CSV batch mode (reference dataset/preprocess_videos.py)
@@ -448,7 +593,8 @@ def cmd_preprocess(args):
         path = os.path.join(args.video_root or "", vid)
         try:
             process_video(path, args.preprocessed_root, fps=args.fps,
-                          sample_rate=args.sample_rate)
+                          sample_rate=args.sample_rate,
+                          merge_dir=args.merge_dir)
             stats["done"] += 1
         except Exception as e:
             stats["failed"] += 1
@@ -491,6 +637,38 @@ def cmd_extract_kps(args):
             stats["failed"] += 1
             print(json.dumps({"file": f, "error": str(e)}), file=sys.stderr)
     print(json.dumps(stats))
+
+
+def cmd_verify(args):
+    from jegal_tpu.verify import run_verification
+
+    engine = _load_engine(args)
+    verdict = run_verification(
+        engine,
+        samples_dir=args.samples_dir,
+        res_dir=args.res_dir,
+        golden_dir=args.golden_dir,
+        tolerance=args.tolerance,
+    )
+    print(json.dumps(verdict, indent=2))
+    if not verdict["ok"]:
+        raise SystemExit(1)
+
+
+def cmd_warmup(args):
+    """Precompile (combo, bucket) serving graphs; with the persistent XLA
+    compilation cache this also pre-populates warm starts for later
+    processes. Emits the compile-time table as JSON."""
+    engine = _load_engine(args)
+    combos = ("vta", "vt", "va", "ta", "v", "t", "a") if args.all_combos \
+        else (args.modalities,)
+    records = engine.warmup_all(
+        combos=combos, t_buckets=tuple(args.t_buckets),
+        s_buckets=tuple(args.s_buckets), w_buckets=tuple(args.w_buckets),
+        mel_buckets=tuple(args.mel_buckets), batch=args.batch_size)
+    print(json.dumps({"graphs": records,
+                      "total_seconds": round(sum(r["seconds"]
+                                                 for r in records), 3)}))
 
 
 def cmd_convert(args):
@@ -573,6 +751,8 @@ def main(argv=None):
         "preprocess": cmd_preprocess,
         "download": cmd_download,
         "extract-kps": cmd_extract_kps,
+        "verify": cmd_verify,
+        "warmup": cmd_warmup,
         "convert": cmd_convert,
         "transcribe": cmd_transcribe,
         "train": cmd_train,

@@ -237,19 +237,17 @@ def conv_tokens_x(params, x, w_pool: int, chunk: int = 160,
     return toks.reshape(-1, D_MODEL)[:t_out]
 
 
-def window_head(params, tokens, batch: int | None = None):
-    """Per-window transformer + head over sliding 21-token windows.
-
-    tokens: (T + 20, 512) conv tokens of a T-frame (pre-pad) video
-    -> (T, 1024) features (mean over the 21 per-window head outputs,
-    reference inference_embs.py:510-511).
-    """
-    t = tokens.shape[0] - (TOKENS - 1)
+def _window_stack(tokens):
+    """tokens (..., T + 20, 512) -> PE-added windows (..., T, 21, 512)."""
+    t = tokens.shape[-2] - (TOKENS - 1)
     idx = jnp.arange(t)[:, None] + jnp.arange(TOKENS)[None, :]
-    wins = tokens[idx]  # (T, 21, 512)
+    wins = jnp.take(tokens, idx, axis=-2)  # (..., T, 21, 512)
     pe = sinusoidal_position_encoding(50, D_MODEL, tokens.dtype)[:TOKENS]
-    wins = wins + pe[None]
+    return wins + pe
 
+
+def _window_head_flat(params, wins, batch: int | None):
+    """wins: (N, 21, 512) -> (N, 1024), optionally in static-size slices."""
     def head(w):
         h = torch_encoder_stack(params["transformer"], w, None, NUM_HEADS)
         h = linear(params["ff1"], h)
@@ -257,13 +255,24 @@ def window_head(params, tokens, batch: int | None = None):
         h = linear(params["ff2"], h)  # (b, 21, 1024)
         return jnp.mean(h, axis=1)
 
-    if batch is None:
+    n = wins.shape[0]
+    if batch is None or n <= batch:
         return head(wins)
     # bound memory for very long videos: static-size batches via lax.map
-    nb = -(-t // batch)
-    wins = jnp.pad(wins, ((0, nb * batch - t), (0, 0), (0, 0)))
+    nb = -(-n // batch)
+    wins = jnp.pad(wins, ((0, nb * batch - n), (0, 0), (0, 0)))
     out = jax.lax.map(head, wins.reshape(nb, batch, TOKENS, D_MODEL))
-    return out.reshape(-1, D_OUT)[:t]
+    return out.reshape(-1, D_OUT)[:n]
+
+
+def window_head(params, tokens, batch: int | None = None):
+    """Per-window transformer + head over sliding 21-token windows.
+
+    tokens: (T + 20, 512) conv tokens of a T-frame (pre-pad) video
+    -> (T, 1024) features (mean over the 21 per-window head outputs,
+    reference inference_embs.py:510-511).
+    """
+    return _window_head_flat(params, _window_stack(tokens), batch)
 
 
 def extract_features(params, frames, chunk: int = 160,
@@ -290,6 +299,76 @@ def extract_features_x(params, x, w_pool: int = 78, chunk: int = 160,
     t = tokens.shape[0] - (TOKENS - 1)
     batch = window_batch if t > window_batch else None
     return window_head(params, tokens, batch=batch)
+
+
+def conv_tokens_batch(params, frames, chunk: int = 160,
+                      use_pallas: bool | None = None, w_pool: int = 78,
+                      interpret: bool = False):
+    """Cross-video conv tower: frames (B, T_pad, H, W, 3) [or s2d-lanes
+    (B, T_pad, H3, 32, 256) on the Pallas path] -> (B, T_pad - 4, 512).
+
+    All (video, chunk) units run through ONE lax.map in a single dispatch —
+    B same-bucket clips share one graph launch instead of B (the per-video
+    driver's dominant overhead for short clips). w_pool: pooled stem width
+    of the Pallas path (78 for 480-wide frames, conv_tokens_x)."""
+    if use_pallas is None:
+        use_pallas = frames.ndim == 5 and frames.shape[-1] == 256
+    b, t_pad = frames.shape[:2]
+    t_out = t_pad - 4
+    chunk = min(chunk, t_out)
+    num_chunks = -(-t_out // chunk)
+    pad_to = num_chunks * chunk + 4
+    widths = [(0, 0), (0, pad_to - t_pad)] + [(0, 0)] * (frames.ndim - 2)
+    frames = jnp.pad(frames, widths)
+
+    if use_pallas:
+        from jegal_tpu.ops.pallas.stem import (
+            mgrid_conv2, stem_kernel_params, stem_mgrid_x)
+
+        lhs, scale, bias = stem_kernel_params(params["net_vid"][0])
+        blk2 = params["net_vid"][1]
+
+        def one(i):
+            vi = i // num_chunks
+            start = (i % num_chunks) * chunk
+            piece = jax.lax.dynamic_slice_in_dim(
+                frames[vi], start, chunk + 4, axis=0)
+            m = stem_mgrid_x(piece, lhs, scale, bias, interpret=interpret)
+            y = mgrid_conv2(m, blk2["conv"]["kernel"][0], w_pool)
+            if blk2["conv"].get("bias") is not None:
+                y = y + blk2["conv"]["bias"]
+            y = jax.nn.relu(batch_norm_inference(blk2["bn"], y))
+            h = y[None]
+            for spec, blk in zip(VGG_SPEC[2:], params["net_vid"][2:]):
+                h = _conv_block(blk, spec, h)
+            return h[0, :, 0, 0, :]
+    else:
+        def one(i):
+            vi = i // num_chunks
+            start = (i % num_chunks) * chunk
+            piece = jax.lax.dynamic_slice_in_dim(
+                frames[vi], start, chunk + 4, axis=0)
+            return vgg_tower(params, piece[None])[0, :, 0, 0, :]
+
+    toks = jax.lax.map(one, jnp.arange(b * num_chunks))
+    return toks.reshape(b, num_chunks * chunk, D_MODEL)[:, :t_out]
+
+
+def extract_features_batch(params, frames, chunk: int = 160,
+                           window_batch: int = 512,
+                           use_pallas: bool | None = None, w_pool: int = 78,
+                           interpret: bool = False):
+    """Cross-video GestSync features: (B, T + 24, 270, 480, 3) masked frames
+    [or (B, T + 24, 90, 32, 256) s2d-lanes] -> (B, T, 1024). Numerically
+    identical to per-video extract_features (tested); one dispatch for the
+    whole batch."""
+    tokens = conv_tokens_batch(params, frames, chunk=chunk, w_pool=w_pool,
+                               use_pallas=use_pallas, interpret=interpret)
+    b = tokens.shape[0]
+    t = tokens.shape[1] - (TOKENS - 1)
+    wins = _window_stack(tokens).reshape(b * t, TOKENS, D_MODEL)
+    batch = window_batch if b * t > window_batch else None
+    return _window_head_flat(params, wins, batch).reshape(b, t, D_OUT)
 
 
 def forward_vid_windowed(params, clips):

@@ -48,6 +48,40 @@ def test_extract_feats_cli(tmp_path, rng, capsys):
     assert json.loads(out2)["skipped"] == 1
 
 
+def test_extract_feats_cli_batched_equals_single(tmp_path, rng, capsys):
+    """--batch_size 2 over 3 ragged clips: same .npy outputs as the
+    per-video path (cross-video tower batching + prefetch thread)."""
+    import pandas as pd
+
+    from jegal_tpu.cli.main import main
+    from jegal_tpu.convert import checkpoints as C
+    from jegal_tpu.models import gestsync as G
+
+    vid_dir = tmp_path / "vids"
+    vid_dir.mkdir()
+    lengths = (5, 8, 8)
+    for i, t in enumerate(lengths):
+        frames = (rng.random((t, 270, 480, 3)) * 255).astype(np.uint8)
+        media.encode_video(str(vid_dir / f"c{i}.avi"), frames, fps=25.0)
+    pd.DataFrame([{"filename": f"c{i}"} for i in range(3)]).to_csv(
+        tmp_path / "f.csv", index=False)
+    ckpt = str(tmp_path / "gestsync.npz")
+    C.save_npz(G.init_params(jax.random.PRNGKey(0)), ckpt)
+
+    common = ["--file_path", str(tmp_path / "f.csv"),
+              "--video_dir", str(vid_dir), "--checkpoint_path", ckpt]
+    main(["extract-feats", *common, "--res_dir", str(tmp_path / "single")])
+    main(["extract-feats", *common, "--res_dir", str(tmp_path / "batched"),
+          "--batch_size", "2"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(out) == {"done": 3, "skipped": 0, "failed": 0}
+    for i, t in enumerate(lengths):
+        a = np.load(tmp_path / "single" / f"c{i}.npy")
+        b = np.load(tmp_path / "batched" / f"c{i}.npy")
+        assert a.shape == b.shape == (t, 1024)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
 def test_long_video_pe_extension(rng):
     """T > 500 (the reference's PE cap, where it would crash) must work."""
     import jax.numpy as jnp

@@ -72,6 +72,25 @@ def test_shared_conv_equals_per_window(rng):
     np.testing.assert_allclose(fast, slow, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
+def test_batched_features_equal_per_video(rng):
+    """Cross-video batching (extract_features_batch) must equal the
+    per-video path clip by clip — the same neutrality contract as the
+    JEGAL-side batch padding."""
+    import jax
+
+    params = G.init_params(jax.random.PRNGKey(2))
+    t = 3
+    frames = jnp.asarray(
+        rng.random((2, t + 2 * G.EDGE_PAD, 270, 480, 3),
+                   dtype=np.float64).astype(np.float32))
+    batched = np.asarray(G.extract_features_batch(params, frames, chunk=8))
+    assert batched.shape == (2, t, 1024)
+    for b in range(2):
+        single = np.asarray(G.extract_features(params, frames[b], chunk=8))
+        np.testing.assert_allclose(batched[b], single, rtol=1e-5, atol=1e-5)
+
+
 def test_window_head_shapes(rng):
     """window_head batching path (lax.map) must equal the unbatched path."""
     import jax
