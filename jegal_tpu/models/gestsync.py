@@ -189,7 +189,8 @@ def conv_tokens(params, frames, chunk: int = 160,
         from jegal_tpu.ops.pallas.stem import s2d_lanes
 
         w_pool = (frames.shape[2] // 3 - 5) // 2 + 1
-        return conv_tokens_x(params, s2d_lanes(frames), w_pool, chunk=chunk)
+        return conv_tokens_x(params, s2d_lanes(frames), w_pool, chunk=chunk,
+                             w_valid=frames.shape[2] // 3)
 
     def one_chunk(start):
         piece = jax.lax.dynamic_slice_in_dim(frames, start, chunk + 4, axis=0)
@@ -201,7 +202,7 @@ def conv_tokens(params, frames, chunk: int = 160,
 
 
 def conv_tokens_x(params, x, w_pool: int, chunk: int = 160,
-                  interpret: bool = False):
+                  w_valid: int = 160, interpret: bool = False):
     """Pallas-stem conv tower over pre-repacked input.
 
     x: (T_pad, H3, 32, 256) s2d-lanes frames (ops/pallas/stem.s2d_lanes, or
@@ -223,7 +224,8 @@ def conv_tokens_x(params, x, w_pool: int, chunk: int = 160,
 
     def one_chunk(start):
         piece = jax.lax.dynamic_slice_in_dim(x, start, chunk + 4, axis=0)
-        m = stem_mgrid_x(piece, lhs, scale, bias, interpret=interpret)
+        m = stem_mgrid_x(piece, lhs, scale, bias, w_valid=w_valid,
+                         interpret=interpret)
         y = mgrid_conv2(m, blk2["conv"]["kernel"][0], w_pool)
         if blk2["conv"].get("bias") is not None:
             y = y + blk2["conv"]["bias"]
@@ -291,10 +293,11 @@ def extract_features(params, frames, chunk: int = 160,
 
 
 def extract_features_x(params, x, w_pool: int = 78, chunk: int = 160,
-                       window_batch: int = 512, interpret: bool = False):
+                       window_batch: int = 512, w_valid: int = 160,
+                       interpret: bool = False):
     """extract_features over pre-repacked s2d-lanes input (Pallas stem path;
     x from ops/video.mask_frames_s2d): (T + 28, H3, 32, 256) -> (T, 1024)."""
-    tokens = conv_tokens_x(params, x, w_pool, chunk=chunk,
+    tokens = conv_tokens_x(params, x, w_pool, chunk=chunk, w_valid=w_valid,
                            interpret=interpret)
     t = tokens.shape[0] - (TOKENS - 1)
     batch = window_batch if t > window_batch else None
@@ -303,7 +306,7 @@ def extract_features_x(params, x, w_pool: int = 78, chunk: int = 160,
 
 def conv_tokens_batch(params, frames, chunk: int = 160,
                       use_pallas: bool | None = None, w_pool: int = 78,
-                      interpret: bool = False):
+                      w_valid: int = 160, interpret: bool = False):
     """Cross-video conv tower: frames (B, T_pad, H, W, 3) [or s2d-lanes
     (B, T_pad, H3, 32, 256) on the Pallas path] -> (B, T_pad - 4, 512).
 
@@ -333,7 +336,8 @@ def conv_tokens_batch(params, frames, chunk: int = 160,
             start = (i % num_chunks) * chunk
             piece = jax.lax.dynamic_slice_in_dim(
                 frames[vi], start, chunk + 4, axis=0)
-            m = stem_mgrid_x(piece, lhs, scale, bias, interpret=interpret)
+            m = stem_mgrid_x(piece, lhs, scale, bias, w_valid=w_valid,
+                             interpret=interpret)
             y = mgrid_conv2(m, blk2["conv"]["kernel"][0], w_pool)
             if blk2["conv"].get("bias") is not None:
                 y = y + blk2["conv"]["bias"]

@@ -55,14 +55,22 @@ K_DIM = 480        # contraction: 5 kt x 3 kh x 32 c
 
 
 def _stem_kernel(x_ref, lhs_ref, scale_ref, bias_ref, o_ref,
-                 a0_ref, rhs_ref, rows_ref, sem_ref, *, n_tb, n_j, h_rows):
+                 a0_ref, rhs_ref, rows_ref, sem_ref, *, n_tb, n_j, h_rows,
+                 w_v):
     """Grid (n_tb, n_j), j innermost (sequential; rows_ref[0] carries
-    conv row 2j across j cells of the same tb block)."""
+    conv row 2j across j cells of the same tb block).
+
+    w_v: valid w lanes per frame (160 for 480-wide inputs). Frames pack
+    TIGHT in the dot's N dim (8 x w_v = 1280 lanes instead of 8 x 256) —
+    the 256-lane slots of the r1 kernel wasted 37.5% of every matmul on
+    pad lanes; the unaligned (w_v-offset) vector copies this needs are
+    cheap next to the 1.6x dot shrink (measured 6.1 -> 4.5 ms/clip).
+    """
     tb = pl.program_id(0)
     j = pl.program_id(1)
     k = tb * n_j + j
     n_cells = n_tb * n_j
-    nlanes = T_BLK * SLOT
+    nlanes = T_BLK * w_v
 
     def dma(slot, tb_, j_):
         return pltpu.make_async_copy(
@@ -88,15 +96,17 @@ def _stem_kernel(x_ref, lhs_ref, scale_ref, bias_ref, o_ref,
     def compute_row(r):
         """Conv row h = 2j + r for all T_BLK frames -> rows_ref[r]."""
         for u in range(T_BLK):
-            v = a0_ref[slot, u:u + 5, r:r + 3, :, :]       # (5, 3, 32, 256)
-            rhs_ref[:, SLOT * u:SLOT * (u + 1)] = v.reshape(K_DIM, SLOT)
+            v = a0_ref[slot, u:u + 5, r:r + 3, :, :w_v]    # (5, 3, 32, w_v)
+            rhs_ref[:, w_v * u:w_v * (u + 1)] = v.reshape(K_DIM, w_v)
         d = jax.lax.dot_general(
             lhs_ref[...], rhs_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             # explicit: a global jax_default_matmul_precision=highest would
             # otherwise request a multi-pass bf16 emulation Mosaic rejects
             precision=jax.lax.Precision.DEFAULT)           # (192, nlanes)
-        # combine the 3 dw taps: y[w] = d0[w] + d1[w+1] + d2[w+2]
+        # combine the 3 dw taps: y[w] = d0[w] + d1[w+1] + d2[w+2]. The
+        # rolls cross frame boundaries at lanes w_v-1/w_v-2 of each frame —
+        # those are invalid conv outputs (w' <= w_v-3) no consumer reads.
         y = (d[0:64]
              + pltpu.roll(d[64:128], shift=nlanes - 1, axis=1)
              + pltpu.roll(d[128:192], shift=nlanes - 2, axis=1))
@@ -119,13 +129,15 @@ def _stem_kernel(x_ref, lhs_ref, scale_ref, bias_ref, o_ref,
     # w-pool (k=3, s=2): max at every w; the pooled values live at even
     # lanes ("m-grid"). Decimation is deferred: layer 2 consumes the m-grid
     # directly as a w-dilated strided conv (see mgrid_conv2), so the only
-    # remaining work here is unpacking the 8 frame slots to t-major blocks.
+    # remaining work here is unpacking the 8 tight frame runs to t-major
+    # blocks (lanes >= w_v of each output slot are never written — the
+    # m-grid contract already marks them unreadable).
     m = jnp.maximum(m, jnp.maximum(
         pltpu.roll(m, shift=nlanes - 1, axis=1),
         pltpu.roll(m, shift=nlanes - 2, axis=1)))
     m = m.astype(o_ref.dtype)
     for u in range(T_BLK):
-        o_ref[u, 0] = m[:, SLOT * u:SLOT * (u + 1)]
+        o_ref[u, 0, :, :w_v] = m[:, w_v * u:w_v * (u + 1)]
     rows_ref[0] = rows_ref[2]  # carry conv row 2j+2 = 2(j+1) to cell j+1
 
 
@@ -174,16 +186,20 @@ def stem_mgrid(frames, lhs, scale, bias, interpret: bool = False):
 
     The m-grid holds the pooled stem output with channels in sublanes and
     the w axis UNDECIMATED in lanes: pooled value for w' sits at lane 2*w'
-    (lanes >= 2*w_pool are zero-based garbage, never to be read).
+    (lanes >= 2*w_pool are garbage, never to be read).
     """
     return stem_mgrid_x(s2d_lanes(frames), lhs, scale, bias,
-                        interpret=interpret)
+                        w_valid=frames.shape[2] // 3, interpret=interpret)
 
 
-def stem_mgrid_x(x, lhs, scale, bias, interpret: bool = False):
+def stem_mgrid_x(x, lhs, scale, bias, w_valid: int = 160,
+                 interpret: bool = False):
     """Pre-repacked entry: x (T4, H3, 32, SLOT) as produced by s2d_lanes /
     ops.video.mask_frames_s2d (which fuses the repack into the masking
-    pass) -> m-grid (t_out, J, 64, SLOT)."""
+    pass) -> m-grid (t_out, J, 64, SLOT).
+
+    w_valid: valid w lanes per frame in x (w // 3 of the raw frames; 160
+    for the 480-wide production geometry)."""
     t_out = x.shape[0] - 4
     h_in = x.shape[1]                       # conv-domain h rows available
     kh = 3                                  # block-space kernel extent
@@ -195,7 +211,8 @@ def stem_mgrid_x(x, lhs, scale, bias, interpret: bool = False):
     x = jnp.pad(x, ((0, t4_pad - x.shape[0]), (0, 0), (0, 0), (0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_stem_kernel, n_tb=n_tb, n_j=n_j, h_rows=h_rows),
+        functools.partial(_stem_kernel, n_tb=n_tb, n_j=n_j, h_rows=h_rows,
+                          w_v=w_valid),
         grid=(n_tb, n_j),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -209,9 +226,9 @@ def stem_mgrid_x(x, lhs, scale, bias, interpret: bool = False):
                                        x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, T_BLK + 4, 5, C_PAD, SLOT), x.dtype),
-            pltpu.VMEM((K_DIM, T_BLK * SLOT), x.dtype),
+            pltpu.VMEM((K_DIM, T_BLK * w_valid), x.dtype),
             # f32: Mosaic's lane rotate (the w-pool shifts) is 32-bit only
-            pltpu.VMEM((3, 64, T_BLK * SLOT), jnp.float32),
+            pltpu.VMEM((3, 64, T_BLK * w_valid), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
