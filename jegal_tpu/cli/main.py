@@ -195,8 +195,13 @@ def build_parser():
 
     p = sub.add_parser("transcribe",
                        help="word-boundary transcription (pluggable ASR)")
-    p.add_argument("--audio_path", required=True)
+    p.add_argument("--audio_path", default=None,
+                   help="single audio file (reference inference_embs.py)")
+    p.add_argument("--path", default=None,
+                   help="folder of audio files — batch mode with resume "
+                        "(reference utils/extract_transcripts_whisperx.py)")
     p.add_argument("--res_dir", default="results")
+    p.add_argument("--batch_size", type=int, default=8)
 
     p = sub.add_parser("train",
                        help="contrastive JEGAL training (working, unlike "
@@ -684,6 +689,14 @@ def cmd_convert(args):
 
 
 def cmd_transcribe(args):
+    if bool(args.audio_path) == bool(args.path):
+        raise SystemExit("specify exactly one of --audio_path / --path")
+    if args.path:
+        from jegal_tpu.host.transcribe import transcribe_folder
+
+        print(json.dumps(transcribe_folder(args.path, args.res_dir,
+                                           batch_size=args.batch_size)))
+        return
     out = _transcribe(args.audio_path, args.res_dir)
     print(json.dumps({"saved": out}))
 
