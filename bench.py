@@ -72,17 +72,23 @@ def build(dtype, t_frames: int, rng, use_pallas: bool):
     return jax.jit(pipeline), args
 
 
-def timed(fn, args, iters: int, device=None):
+def timed(fn, args, iters: int, device=None, reps: int = 3):
+    """Best-of-`reps` timing passes: the tunnel-attached chip shows
+    server-side contention between runs (see docs in the verify recipe);
+    the minimum is the honest hardware number."""
     if device is not None:
         args = jax.tree.map(lambda x: jax.device_put(x, device), args)
     out = fn(*args)  # compile
     np.asarray(out[1])  # sync via host fetch (the experimental axon
     # platform's block_until_ready does not actually block)
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    np.asarray(out[1])
-    return (time.perf_counter() - start) / iters
+    best = float("inf")
+    for _ in range(reps):
+        start = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        np.asarray(out[1])
+        best = min(best, (time.perf_counter() - start) / iters)
+    return best
 
 
 def build_batched(dtype, t_frames: int, batch: int, rng):
@@ -91,7 +97,6 @@ def build_batched(dtype, t_frames: int, batch: int, rng):
     shape (engine.gestsync_features_from_raw_many / extract_many)."""
     from jegal_tpu.models import gestsync as G
     from jegal_tpu.models import jegal as J
-    from jegal_tpu.ops.video import mask_frames_s2d
     import __graft_entry__ as E
 
     key = jax.random.PRNGKey(0)
@@ -112,9 +117,8 @@ def build_batched(dtype, t_frames: int, batch: int, rng):
 
     def pipeline(gp, jp, rp, frames_u8, chin, input_ids, text_mask,
                  text_pool, audio_mel, audio_pool):
-        x = jax.vmap(lambda f, c: mask_frames_s2d(f, c, dtype=dtype))(
-            frames_u8, chin)
-        feats = G.extract_features_batch(gp, x, chunk=160)
+        feats = G.extract_features_batch_raw(gp, frames_u8, chin, chunk=160,
+                                             dtype=dtype)
         vmask = jnp.ones(feats.shape[:2], dtype)
         return J.forward_inference(
             jp, rp, use_v=True, use_t=True, use_a=True,

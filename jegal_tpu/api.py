@@ -175,12 +175,10 @@ class JegalEngine:
 
             def fn(params, frames, cut):
                 if use_pallas:
-                    from jegal_tpu.ops.video import mask_frames_s2d
-
-                    x = jax.vmap(
-                        lambda f, c: mask_frames_s2d(f, c, dtype=self.dtype)
-                    )(frames, cut)
-                    return G.extract_features_batch(params, x, chunk=160)
+                    # mask + s2d fused into the chunk loop (no full repacked
+                    # intermediate in HBM)
+                    return G.extract_features_batch_raw(
+                        params, frames, cut, chunk=160, dtype=self.dtype)
                 from jegal_tpu.ops.video import mask_frames_device
 
                 masked = jax.vmap(mask_frames_device)(frames, cut)

@@ -358,6 +358,65 @@ def conv_tokens_batch(params, frames, chunk: int = 160,
     return toks.reshape(b, num_chunks * chunk, D_MODEL)[:, :t_out]
 
 
+def extract_features_batch_raw(params, frames_u8, cut, chunk: int = 160,
+                               window_batch: int = 512, w_pool: int = 78,
+                               dtype=jnp.bfloat16, interpret: bool = False):
+    """Cross-video features from RAW decoder frames, mask+s2d fused into the
+    chunk loop: frames_u8 (B, T, 270, 480, 3) uint8 (bucket-padded, NOT yet
+    +/-12 edge-padded), cut (B, T) int32 chin rows -> (B, T, 1024).
+
+    The unfused batch path materializes the full repacked tensor
+    (B x (T+24) x 90 x 32 x 256 bf16 — 1.8 GB at B=8, T=128) before the
+    tower reads it back; masking per chunk keeps that stage's HBM traffic
+    to the uint8 input + per-chunk working set."""
+    from jegal_tpu.ops.pallas.stem import (
+        mgrid_conv2, stem_kernel_params, stem_mgrid_x)
+    from jegal_tpu.ops.video import mask_s2d_core
+
+    b, t = frames_u8.shape[:2]
+    # +/-12 edge pad in uint8 (cheap) so chunk slices see the same frame
+    # sequence mask_frames_s2d would produce
+    frames_u8 = jnp.pad(
+        frames_u8, ((0, 0), (EDGE_PAD, EDGE_PAD), (0, 0), (0, 0), (0, 0)),
+        "edge")
+    cut = jnp.pad(cut, ((0, 0), (EDGE_PAD, EDGE_PAD)), "edge")
+    t_pad = t + 2 * EDGE_PAD
+    t_out = t_pad - 4
+    chunk = min(chunk, t_out)
+    num_chunks = -(-t_out // chunk)
+    pad_to = num_chunks * chunk + 4
+    frames_u8 = jnp.pad(
+        frames_u8, ((0, 0), (0, pad_to - t_pad), (0, 0), (0, 0), (0, 0)))
+    cut = jnp.pad(cut, ((0, 0), (0, pad_to - t_pad)))
+
+    lhs, scale, bias = stem_kernel_params(params["net_vid"][0])
+    blk2 = params["net_vid"][1]
+
+    def one(i):
+        vi = i // num_chunks
+        start = (i % num_chunks) * chunk
+        piece = jax.lax.dynamic_slice_in_dim(
+            frames_u8[vi], start, chunk + 4, axis=0)
+        cpiece = jax.lax.dynamic_slice_in_dim(cut[vi], start, chunk + 4)
+        x = mask_s2d_core(piece, cpiece, dtype=dtype)
+        m = stem_mgrid_x(x, lhs, scale, bias, interpret=interpret)
+        y = mgrid_conv2(m, blk2["conv"]["kernel"][0], w_pool)
+        if blk2["conv"].get("bias") is not None:
+            y = y + blk2["conv"]["bias"]
+        y = jax.nn.relu(batch_norm_inference(blk2["bn"], y))
+        h = y[None]
+        for spec, blk in zip(VGG_SPEC[2:], params["net_vid"][2:]):
+            h = _conv_block(blk, spec, h)
+        return h[0, :, 0, 0, :]
+
+    toks = jax.lax.map(one, jnp.arange(b * num_chunks))
+    tokens = toks.reshape(b, num_chunks * chunk, D_MODEL)[:, :t_out]
+    wins = _window_stack(tokens).reshape(b * (t_out - TOKENS + 1), TOKENS,
+                                         D_MODEL)
+    batch = window_batch if wins.shape[0] > window_batch else None
+    return _window_head_flat(params, wins, batch).reshape(b, t, D_OUT)
+
+
 def extract_features_batch(params, frames, chunk: int = 160,
                            window_batch: int = 512,
                            use_pallas: bool | None = None, w_pool: int = 78,

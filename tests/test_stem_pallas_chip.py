@@ -44,3 +44,29 @@ def test_full_size_parity_bf16():
         np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1) + 1e-12)
     # bf16-vs-bf16 with different (more accurate) stem accumulation
     assert cos.min() > 1 - 1e-4, cos.min()
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="needs a TPU backend")
+def test_batch_raw_equals_per_video_bf16():
+    """The fused-chunk batched raw path (uint8 in, mask+s2d inside the
+    chunk loop) must equal the per-video raw path clip by clip."""
+    from jegal_tpu.ops.video import mask_frames_s2d
+
+    rng = np.random.default_rng(1)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                          G.init_params(jax.random.PRNGKey(1)))
+    frames = jnp.asarray(rng.integers(0, 255, (2, 17, 270, 480, 3)),
+                         jnp.uint8)
+    cut = jnp.asarray(rng.integers(90, 140, (2, 17)), jnp.int32)
+
+    batched = np.asarray(jax.jit(
+        lambda f, c: G.extract_features_batch_raw(params, f, c, chunk=160)
+    )(frames, cut), np.float32)
+    assert batched.shape == (2, 17, 1024)
+
+    single = jax.jit(lambda f, c: G.extract_features_x(
+        params, mask_frames_s2d(f, c), chunk=160))
+    for b in range(2):
+        ref = np.asarray(single(frames[b], cut[b]), np.float32)
+        np.testing.assert_allclose(batched[b], ref, atol=2e-2, rtol=2e-2)
