@@ -125,7 +125,7 @@ class JegalEngine:
                 [frames_u8,
                  np.repeat(frames_u8[-1:], t_bucket - t, axis=0)], axis=0)
         if self._gestsync_raw_fn is None:
-            use_pallas = jax.default_backend() != "cpu"
+            use_pallas = jax.default_backend() == "tpu"
 
             def fn(params, frames, cut):
                 if use_pallas:
@@ -171,7 +171,7 @@ class JegalEngine:
         if self.gestsync_params is None:
             raise RuntimeError("engine has no GestSync parameters")
         if self._gestsync_batch_fn is None:
-            use_pallas = jax.default_backend() != "cpu"
+            use_pallas = jax.default_backend() == "tpu"
 
             def fn(params, frames, cut):
                 if use_pallas:
@@ -256,6 +256,12 @@ class JegalEngine:
         victim = min((c for c in by_combo if c != combo_key),
                      key=by_combo.get, default=None)
         if victim is None:
+            # the ACTIVE combo alone exceeds the budget (e.g. one combo
+            # served with ever-growing exotic shapes): the bound must still
+            # hold, so drop its cache too — only the just-requested shape
+            # survives in the ledger (it is being compiled right now)
+            self._combo_cache[combo_key].clear_cache()
+            self._graph_ledger = {sig: self._graph_seq}
             return
         self._combo_cache[victim].clear_cache()
         self._graph_ledger = {k: v for k, v in self._graph_ledger.items()

@@ -475,16 +475,31 @@ def cmd_extract_feats(args):
 
     batch: list = []
 
+    def save_one(f, out, feat):
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        np.save(out, feat)
+        stats["done"] += 1
+
     def flush():
         if not batch:
             return
-        feats = engine.gestsync_features_from_raw_many(
-            [(fr, chin) for _, _, (fr, chin) in batch],
-            batch_size=args.batch_size)
-        for (f, out, _), feat in zip(batch, feats):
-            os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-            np.save(out, feat)
-            stats["done"] += 1
+        try:
+            feats = engine.gestsync_features_from_raw_many(
+                [(fr, chin) for _, _, (fr, chin) in batch],
+                batch_size=args.batch_size)
+            for (f, out, _), feat in zip(batch, feats):
+                save_one(f, out, feat)
+        except Exception:
+            # one bad clip must not sink its batchmates: retry per clip and
+            # record individual failures in the ledger
+            for f, out, (fr, chin) in batch:
+                try:
+                    save_one(f, out,
+                             engine.gestsync_features_from_raw(fr, chin))
+                except Exception as e:
+                    stats["failed"] += 1
+                    print(json.dumps({"file": f, "error": str(e)}),
+                          file=sys.stderr)
         batch.clear()
 
     while True:

@@ -41,7 +41,8 @@ def cosine_scores(query: np.ndarray, candidates: np.ndarray,
 
 def evaluate(res_dir: str, df) -> dict:
     """df: pandas frame of the AVS-Asd CSV (filename, neg_files)."""
-    counts = {2: [0, 0], 4: [0, 0], 6: [0, 0]}  # n_spk -> [correct, total]
+    # n_spk -> [correct, total], driven by the same config the loop reads
+    counts = {n: [0, 0] for n in _CFG.eval.asd_speakers}
     evaluated = 0
     for _, row in df.iterrows():
         qpath = _emb_path(res_dir, row["filename"])

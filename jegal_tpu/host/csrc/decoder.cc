@@ -267,6 +267,11 @@ int jegal_encode_video(const char* path, const uint8_t* rgb, int64_t nframes,
   if (!codec) { avformat_free_context(fmt); return -2; }
   AVStream* st = avformat_new_stream(fmt, nullptr);
   AVCodecContext* enc = avcodec_alloc_context3(codec);
+  if (!st || !enc) {
+    if (enc) avcodec_free_context(&enc);
+    avformat_free_context(fmt);
+    return -2;
+  }
   enc->width = width;
   enc->height = height;
   enc->pix_fmt = AV_PIX_FMT_YUV420P;
@@ -291,11 +296,13 @@ int jegal_encode_video(const char* path, const uint8_t* rgb, int64_t nframes,
                          AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr, nullptr,
                          nullptr);
     yuv = av_frame_alloc();
+    if (!sws || !yuv) break;
     yuv->format = AV_PIX_FMT_YUV420P;
     yuv->width = width;
     yuv->height = height;
-    av_frame_get_buffer(yuv, 0);
+    if (av_frame_get_buffer(yuv, 0) < 0) break;
     pkt = av_packet_alloc();
+    if (!pkt) break;
 
     auto write_packets = [&]() {
       while (avcodec_receive_packet(enc, pkt) >= 0) {
@@ -359,6 +366,12 @@ int jegal_encode_av(const char* path, const uint8_t* rgb, int64_t nframes,
   AVStream* ast = avformat_new_stream(fmt, nullptr);
   AVCodecContext* venc = avcodec_alloc_context3(vcodec);
   AVCodecContext* aenc = avcodec_alloc_context3(acodec);
+  if (!vst || !ast || !venc || !aenc) {
+    if (venc) avcodec_free_context(&venc);
+    if (aenc) avcodec_free_context(&aenc);
+    avformat_free_context(fmt);
+    return -2;
+  }
   venc->width = width;
   venc->height = height;
   venc->pix_fmt = AV_PIX_FMT_YUV420P;
@@ -395,18 +408,21 @@ int jegal_encode_av(const char* path, const uint8_t* rgb, int64_t nframes,
                          AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr, nullptr,
                          nullptr);
     yuv = av_frame_alloc();
+    if (!sws || !yuv) break;
     yuv->format = AV_PIX_FMT_YUV420P;
     yuv->width = width;
     yuv->height = height;
-    av_frame_get_buffer(yuv, 0);
+    if (av_frame_get_buffer(yuv, 0) < 0) break;
     const int asamples = aenc->frame_size > 0 ? aenc->frame_size : 1024;
     af = av_frame_alloc();
+    if (!af) break;
     af->format = AV_SAMPLE_FMT_FLTP;
     av_channel_layout_default(&af->ch_layout, 1);
     af->sample_rate = sample_rate;
     af->nb_samples = asamples;
-    av_frame_get_buffer(af, 0);
+    if (av_frame_get_buffer(af, 0) < 0) break;
     pkt = av_packet_alloc();
+    if (!pkt) break;
 
     bool ok = true;
     auto write_packets = [&](AVCodecContext* enc, AVStream* st,

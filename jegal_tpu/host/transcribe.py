@@ -99,9 +99,13 @@ def transcribe_folder(path: str, result_dir: str, batch_size: int = 8,
         if f.lower().endswith(exts))
     stats = {"done": 0, "skipped": 0, "failed": 0}
     for audio_file in files:
-        parent = os.path.basename(os.path.dirname(audio_file))
-        stem = os.path.splitext(os.path.basename(audio_file))[0]
-        out_path = os.path.join(result_dir, parent, stem + ".txt")
+        # keyed by the path RELATIVE to the input root — identical to the
+        # reference's <parent>/<stem> for its one-level corpora, but deeper
+        # trees can't silently collide (the reference keys only on the
+        # immediate parent's basename, :28)
+        rel = os.path.relpath(audio_file, path)
+        out_path = os.path.join(result_dir,
+                                os.path.splitext(rel)[0] + ".txt")
         if os.path.exists(out_path):  # resume (reference :32-33)
             stats["skipped"] += 1
             continue

@@ -148,9 +148,11 @@ def vgg_tower(params, x):
 
 def _pallas_stem_ok(frames) -> bool:
     """Use the fused Pallas stem when on a real TPU backend and the frame
-    geometry fits the kernel's contract (s2d block 3, >=1 pool row/col)."""
+    geometry fits the kernel's contract (s2d block 3, >=1 pool row/col).
+    Any non-TPU backend (CPU, GPU) takes the XLA path — the kernel uses
+    TPU-only Mosaic primitives."""
     t_pad, h, w, c = frames.shape
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() != "tpu":
         return False
     return (c == 3 and h % 3 == 0 and w % 3 == 0
             and h // 3 >= 5 and 5 <= w // 3 <= 254 and t_pad >= 5)
@@ -175,6 +177,15 @@ def conv_tokens(params, frames, chunk: int = 160,
     """
     if use_pallas is None:
         use_pallas = _pallas_stem_ok(frames)
+    if use_pallas:
+        # NOTE: branch BEFORE the chunk padding below — conv_tokens_x pads
+        # for itself and derives t_out from its input length (padding here
+        # would inflate its output with garbage tail tokens)
+        from jegal_tpu.ops.pallas.stem import s2d_lanes
+
+        w_pool = (frames.shape[2] // 3 - 5) // 2 + 1
+        return conv_tokens_x(params, s2d_lanes(frames), w_pool, chunk=chunk,
+                             w_valid=frames.shape[2] // 3)
     t_pad = frames.shape[0]
     t_out = t_pad - 4
     chunk = min(chunk, t_out)  # short buckets: don't pad to a full chunk
@@ -185,13 +196,6 @@ def conv_tokens(params, frames, chunk: int = 160,
 
     starts = jnp.arange(num_chunks) * chunk
 
-    if use_pallas:
-        from jegal_tpu.ops.pallas.stem import s2d_lanes
-
-        w_pool = (frames.shape[2] // 3 - 5) // 2 + 1
-        return conv_tokens_x(params, s2d_lanes(frames), w_pool, chunk=chunk,
-                             w_valid=frames.shape[2] // 3)
-
     def one_chunk(start):
         piece = jax.lax.dynamic_slice_in_dim(frames, start, chunk + 4, axis=0)
         out = vgg_tower(params, piece[None])  # (1, chunk, 1, 1, 512)
@@ -201,29 +205,19 @@ def conv_tokens(params, frames, chunk: int = 160,
     return toks.reshape(-1, D_MODEL)[:t_out]
 
 
-def conv_tokens_x(params, x, w_pool: int, chunk: int = 160,
-                  w_valid: int = 160, interpret: bool = False):
-    """Pallas-stem conv tower over pre-repacked input.
-
-    x: (T_pad, H3, 32, 256) s2d-lanes frames (ops/pallas/stem.s2d_lanes, or
-    ops/video.mask_frames_s2d which fuses the repack into the masking pass)
-    -> tokens (T_pad - 4, 512). w_pool: pooled stem width (78 for 480-wide
-    frames)."""
-    from jegal_tpu.ops.pallas.stem import mgrid_conv2, stem_kernel_params, stem_mgrid_x
-
-    t_pad = x.shape[0]
-    t_out = t_pad - 4
-    chunk = min(chunk, t_out)
-    num_chunks = -(-t_out // chunk)
-    pad_to = num_chunks * chunk + 4
-    x = jnp.pad(x, ((0, pad_to - t_pad), (0, 0), (0, 0), (0, 0)))
-    starts = jnp.arange(num_chunks) * chunk
+def _make_stem_chunk_fn(params, w_pool: int, w_valid: int,
+                        interpret: bool = False):
+    """-> fn: one (chunk+4)-frame s2d-lanes piece -> (chunk, 512) tokens
+    via the Pallas stem -> m-grid layer-2 conv -> blocks 3-6. The SINGLE
+    definition of the Pallas tower body, shared by the per-video and both
+    batched paths so they cannot silently diverge."""
+    from jegal_tpu.ops.pallas.stem import (
+        mgrid_conv2, stem_kernel_params, stem_mgrid_x)
 
     lhs, scale, bias = stem_kernel_params(params["net_vid"][0])
     blk2 = params["net_vid"][1]
 
-    def one_chunk(start):
-        piece = jax.lax.dynamic_slice_in_dim(x, start, chunk + 4, axis=0)
+    def fn(piece):
         m = stem_mgrid_x(piece, lhs, scale, bias, w_valid=w_valid,
                          interpret=interpret)
         y = mgrid_conv2(m, blk2["conv"]["kernel"][0], w_pool)
@@ -234,6 +228,30 @@ def conv_tokens_x(params, x, w_pool: int, chunk: int = 160,
         for spec, blk in zip(VGG_SPEC[2:], params["net_vid"][2:]):
             h = _conv_block(blk, spec, h)
         return h[0, :, 0, 0, :]
+
+    return fn
+
+
+def conv_tokens_x(params, x, w_pool: int, chunk: int = 160,
+                  w_valid: int = 160, interpret: bool = False):
+    """Pallas-stem conv tower over pre-repacked input.
+
+    x: (T_pad, H3, 32, 256) s2d-lanes frames (ops/pallas/stem.s2d_lanes, or
+    ops/video.mask_frames_s2d which fuses the repack into the masking pass)
+    -> tokens (T_pad - 4, 512). w_pool: pooled stem width (78 for 480-wide
+    frames)."""
+    t_pad = x.shape[0]
+    t_out = t_pad - 4
+    chunk = min(chunk, t_out)
+    num_chunks = -(-t_out // chunk)
+    pad_to = num_chunks * chunk + 4
+    x = jnp.pad(x, ((0, pad_to - t_pad), (0, 0), (0, 0), (0, 0)))
+    starts = jnp.arange(num_chunks) * chunk
+    chunk_fn = _make_stem_chunk_fn(params, w_pool, w_valid, interpret)
+
+    def one_chunk(start):
+        return chunk_fn(jax.lax.dynamic_slice_in_dim(x, start, chunk + 4,
+                                                     axis=0))
 
     toks = jax.lax.map(one_chunk, starts)
     return toks.reshape(-1, D_MODEL)[:t_out]
@@ -296,7 +314,9 @@ def extract_features_x(params, x, w_pool: int = 78, chunk: int = 160,
                        window_batch: int = 512, w_valid: int = 160,
                        interpret: bool = False):
     """extract_features over pre-repacked s2d-lanes input (Pallas stem path;
-    x from ops/video.mask_frames_s2d): (T + 28, H3, 32, 256) -> (T, 1024)."""
+    x from ops/video.mask_frames_s2d): (T + 24, H3, 32, 256) -> (T, 1024)
+    (the +/-12 edge pad; the stem consumes 4 frames, the window transformer
+    the remaining 20)."""
     tokens = conv_tokens_x(params, x, w_pool, chunk=chunk, w_valid=w_valid,
                            interpret=interpret)
     t = tokens.shape[0] - (TOKENS - 1)
@@ -325,27 +345,13 @@ def conv_tokens_batch(params, frames, chunk: int = 160,
     frames = jnp.pad(frames, widths)
 
     if use_pallas:
-        from jegal_tpu.ops.pallas.stem import (
-            mgrid_conv2, stem_kernel_params, stem_mgrid_x)
-
-        lhs, scale, bias = stem_kernel_params(params["net_vid"][0])
-        blk2 = params["net_vid"][1]
+        chunk_fn = _make_stem_chunk_fn(params, w_pool, w_valid, interpret)
 
         def one(i):
             vi = i // num_chunks
             start = (i % num_chunks) * chunk
-            piece = jax.lax.dynamic_slice_in_dim(
-                frames[vi], start, chunk + 4, axis=0)
-            m = stem_mgrid_x(piece, lhs, scale, bias, w_valid=w_valid,
-                             interpret=interpret)
-            y = mgrid_conv2(m, blk2["conv"]["kernel"][0], w_pool)
-            if blk2["conv"].get("bias") is not None:
-                y = y + blk2["conv"]["bias"]
-            y = jax.nn.relu(batch_norm_inference(blk2["bn"], y))
-            h = y[None]
-            for spec, blk in zip(VGG_SPEC[2:], params["net_vid"][2:]):
-                h = _conv_block(blk, spec, h)
-            return h[0, :, 0, 0, :]
+            return chunk_fn(jax.lax.dynamic_slice_in_dim(
+                frames[vi], start, chunk + 4, axis=0))
     else:
         def one(i):
             vi = i // num_chunks
@@ -369,8 +375,6 @@ def extract_features_batch_raw(params, frames_u8, cut, chunk: int = 160,
     (B x (T+24) x 90 x 32 x 256 bf16 — 1.8 GB at B=8, T=128) before the
     tower reads it back; masking per chunk keeps that stage's HBM traffic
     to the uint8 input + per-chunk working set."""
-    from jegal_tpu.ops.pallas.stem import (
-        mgrid_conv2, stem_kernel_params, stem_mgrid_x)
     from jegal_tpu.ops.video import mask_s2d_core
 
     b, t = frames_u8.shape[:2]
@@ -389,8 +393,9 @@ def extract_features_batch_raw(params, frames_u8, cut, chunk: int = 160,
         frames_u8, ((0, 0), (0, pad_to - t_pad), (0, 0), (0, 0), (0, 0)))
     cut = jnp.pad(cut, ((0, 0), (0, pad_to - t_pad)))
 
-    lhs, scale, bias = stem_kernel_params(params["net_vid"][0])
-    blk2 = params["net_vid"][1]
+    chunk_fn = _make_stem_chunk_fn(params, w_pool,
+                                   w_valid=frames_u8.shape[3] // 3,
+                                   interpret=interpret)
 
     def one(i):
         vi = i // num_chunks
@@ -398,16 +403,7 @@ def extract_features_batch_raw(params, frames_u8, cut, chunk: int = 160,
         piece = jax.lax.dynamic_slice_in_dim(
             frames_u8[vi], start, chunk + 4, axis=0)
         cpiece = jax.lax.dynamic_slice_in_dim(cut[vi], start, chunk + 4)
-        x = mask_s2d_core(piece, cpiece, dtype=dtype)
-        m = stem_mgrid_x(x, lhs, scale, bias, interpret=interpret)
-        y = mgrid_conv2(m, blk2["conv"]["kernel"][0], w_pool)
-        if blk2["conv"].get("bias") is not None:
-            y = y + blk2["conv"]["bias"]
-        y = jax.nn.relu(batch_norm_inference(blk2["bn"], y))
-        h = y[None]
-        for spec, blk in zip(VGG_SPEC[2:], params["net_vid"][2:]):
-            h = _conv_block(blk, spec, h)
-        return h[0, :, 0, 0, :]
+        return chunk_fn(mask_s2d_core(piece, cpiece, dtype=dtype))
 
     toks = jax.lax.map(one, jnp.arange(b * num_chunks))
     tokens = toks.reshape(b, num_chunks * chunk, D_MODEL)[:, :t_out]

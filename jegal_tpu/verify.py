@@ -109,10 +109,19 @@ def run_verification(engine, samples_dir: str, res_dir: str,
             continue
         visual_feats = None
         if have_v:
-            from jegal_tpu.cli.main import _video_features
+            # NOT cli._video_features: that helper sys.exit(0)s on the
+            # gesture-visibility gate, which would end verify with a
+            # SUCCESS status and no verdict — record the rejection instead
+            from jegal_tpu.cli.main import _decode_for_features
 
-            visual_feats = _video_features(
-                engine, os.path.join(samples_dir, name + ".avi"))
+            decoded = _decode_for_features(
+                os.path.join(samples_dir, name + ".avi"))
+            if decoded is None:
+                verdict["samples"][name] = {
+                    "error": "gesture-visibility gate rejected the video"}
+                verdict["ok"] = False
+                continue
+            visual_feats = engine.gestsync_features_from_raw(*decoded)
         for combo in combos:
             out = engine.extract(
                 modalities=combo,

@@ -32,14 +32,17 @@ def test_graph_ledger_tracks_and_evicts():
     assert eng._combo_cache[(True, False, False)]._cache_size() == 0
 
 
-def test_eviction_never_drops_the_active_combo():
+def test_bound_holds_within_a_single_combo():
     eng = JegalEngine(jegal_params=J.init_params(jax.random.PRNGKey(7)),
                       max_cached_graphs=2)
-    # exceed the budget entirely within ONE combo: nothing to evict, the
-    # ledger keeps growing rather than thrashing the combo being served
+    # exceed the budget entirely within ONE combo: the bound must still
+    # hold (the documented guarantee), so the active combo's own cache is
+    # dropped and only the in-flight shape survives
     for t in (16, 32, 64):
         eng.warmup(modalities="v", t=t)
-    assert len(eng.cached_graphs) == 3
+    assert len(eng.cached_graphs) == 1
+    assert eng._combo_cache[(True, False, False)]._cache_size() == 1
+    # and the engine still serves correctly afterwards
     out = eng.extract(modalities="v",
                       visual_feats=np.ones((20, 1024), np.float32))
     assert out["gesture_emb"].shape == (20, 512)

@@ -75,6 +75,18 @@ def test_stem_chunking_is_neutral(params, rng):
     np.testing.assert_array_equal(one, three)
 
 
+def test_conv_tokens_pallas_shape_with_tail_chunk(params):
+    """conv_tokens must honor its (T_pad - 4, 512) contract on the Pallas
+    path when t_out > chunk and t_out % chunk != 0 (regression: the branch
+    once ran after chunk padding, inflating the output with garbage tail
+    tokens at the 256/512 T buckets)."""
+    frames = jax.ShapeDtypeStruct((204, 270, 480, 3), jnp.float32)
+    out = jax.eval_shape(
+        lambda f: G.conv_tokens(params, f, chunk=160, use_pallas=True),
+        frames)
+    assert out.shape == (200, 512)
+
+
 def test_mask_frames_s2d_matches_separate(rng):
     """Fused mask+repack == mask_frames_device followed by s2d_lanes."""
     from jegal_tpu.ops.video import mask_frames_device, mask_frames_s2d

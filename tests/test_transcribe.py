@@ -74,6 +74,22 @@ def test_folder_batch_resume_and_ledger(tmp_path, capsys):
     assert stats2 == {"done": 0, "skipped": 2, "failed": 1}
 
 
+def test_folder_batch_no_deep_tree_collisions(tmp_path):
+    """Distinct files sharing <parent>/<stem> at different depths must get
+    distinct outputs (the reference keys only on the immediate parent's
+    basename and silently collides)."""
+    for sub in ("a/x", "b/x"):
+        d = tmp_path / "audio" / sub
+        d.mkdir(parents=True)
+        (d / "f.wav").write_bytes(b"\0")
+    res = tmp_path / "out"
+    stats = transcribe_folder(str(tmp_path / "audio"), str(res),
+                              backend=fake_backend)
+    assert stats == {"done": 2, "skipped": 0, "failed": 0}
+    assert (res / "a" / "x" / "f.txt").exists()
+    assert (res / "b" / "x" / "f.txt").exists()
+
+
 def test_missing_backend_is_actionable(tmp_path):
     try:
         import whisperx  # noqa: F401

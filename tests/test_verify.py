@@ -76,8 +76,11 @@ def test_verify_with_visual_runs_eval_smoke(engine, tmp_path, monkeypatch):
 
     rng = np.random.default_rng(0)
     monkeypatch.setattr(
-        cli, "_video_features",
-        lambda eng, path: rng.standard_normal((40, 1024)).astype(np.float32))
+        cli, "_decode_for_features",
+        lambda path: (np.zeros((40, 270, 480, 3), np.uint8), None))
+    monkeypatch.setattr(
+        engine, "gestsync_features_from_raw",
+        lambda frames, chin: rng.standard_normal((40, 1024)).astype(np.float32))
     monkeypatch.setattr(engine, "gestsync_params",
                         G.init_params(jax.random.PRNGKey(9)))
     verdict = run_verification(engine, SAMPLES, str(tmp_path / "out"),
@@ -113,6 +116,24 @@ def test_verify_against_goldens(engine, tmp_path):
                           golden_dir=str(golden), combos=["ta"])
     assert not v3["ok"]
     assert not v3["samples"]["sample1"]["ta"]["golden"]["ok"]
+
+
+@pytest.mark.skipif(not os.path.isdir(SAMPLES), reason="no reference samples")
+def test_verify_records_visibility_rejection(engine, tmp_path, monkeypatch):
+    """The gesture-visibility gate must produce a FAILED verdict entry, not
+    the CLI helper's sys.exit(0) (which would read as a silent pass)."""
+    import importlib
+
+    from jegal_tpu.models import gestsync as G
+
+    cli = importlib.import_module("jegal_tpu.cli.main")
+    monkeypatch.setattr(cli, "_decode_for_features", lambda path: None)
+    monkeypatch.setattr(engine, "gestsync_params",
+                        G.init_params(jax.random.PRNGKey(9)))
+    verdict = run_verification(engine, SAMPLES, str(tmp_path / "out"),
+                               combos=["vta"])
+    assert not verdict["ok"]
+    assert "gesture-visibility" in verdict["samples"]["sample1"]["error"]
 
 
 def test_compare_embeddings_presence_mismatch():
