@@ -12,16 +12,18 @@ MEL_BUCKETS = tuple(4 * t for t in T_BUCKETS)  # mel frames (4x token rate)
 
 
 def next_bucket(n: int, buckets=T_BUCKETS) -> int:
-    """Smallest bucket >= n; doubles past the table end."""
+    """Smallest bucket >= n; past the table end, the next multiple of the
+    last bucket (doubling wasted up to ~50% — a 2-minute 3000-frame video
+    would pad to 4096; multiples of 512 cap the waste at one bucket while
+    long inputs stay rare enough that the extra shapes don't bloat the jit
+    cache)."""
     if n <= 0:
         raise ValueError(f"bucketing requires n >= 1, got {n}")
     for b in buckets:
         if n <= b:
             return b
-    b = buckets[-1]
-    while b < n:
-        b *= 2
-    return b
+    last = buckets[-1]
+    return -(-n // last) * last
 
 
 def pad_axis(arr, axis: int, target: int, value=0.0):

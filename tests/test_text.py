@@ -62,7 +62,11 @@ def test_bucketing():
     assert next_bucket(1) == 32
     assert next_bucket(32) == 32
     assert next_bucket(33) == 64
-    assert next_bucket(513) == 1024  # doubles past table end
+    # past the table end: next multiple of the last bucket (not doubling —
+    # a 3000-frame video pads to 3072, not 4096)
+    assert next_bucket(513) == 1024
+    assert next_bucket(1025) == 1536
+    assert next_bucket(3000) == 3072
     with pytest.raises(ValueError):
         next_bucket(0)
     x = np.ones((2, 3))
