@@ -101,6 +101,34 @@ def test_infer_missing_args(ckpts):
               "--modalities", "v"])  # no --video_path
 
 
+@pytest.mark.skipif(not os.path.isdir(SAMPLES), reason="reference not mounted")
+def test_verify_cli_end_to_end(ckpts, tmp_path, capsys):
+    """`jegal_tpu verify` through argv parsing: audio-only (no roberta /
+    tokenizer / gestsync given) against the reference samples, JSON verdict
+    on stdout, exit 0."""
+    main(["verify", "--checkpoint_path_jegal", ckpts["jegal"],
+          "--samples_dir", SAMPLES, "--res_dir", str(tmp_path / "v")])
+    verdict = json.loads(capsys.readouterr().out)
+    assert verdict["ok"] and verdict["combos"] == ["a"]
+    assert os.path.exists(tmp_path / "v" / "sample1_a.pkl")
+
+
+def test_warmup_cli(ckpts, capsys):
+    """`jegal_tpu warmup` arg wiring: one combo at tiny buckets, JSON table
+    with per-graph seconds."""
+    main(["warmup", "--checkpoint_path", ckpts["jegal"],
+          "--modalities", "a", "--w_buckets", "8", "--mel_buckets", "64"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["graphs"][0]["combo"] == "a"
+    assert out["graphs"][0]["mel"] == 64
+    assert out["total_seconds"] > 0
+
+
+def test_transcribe_cli_arg_validation(capsys):
+    with pytest.raises(SystemExit, match="exactly one"):
+        main(["transcribe", "--res_dir", "x"])
+
+
 def test_convert_roundtrip(ckpts, tmp_path):
     params, cfg = C.load_roberta(ckpts["roberta"])
     assert cfg.hidden_size == 768 and cfg.num_layers == 1 and cfg.num_heads == 12
