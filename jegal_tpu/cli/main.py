@@ -187,6 +187,20 @@ def build_parser():
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--bf16", action="store_true")
 
+    p = sub.add_parser("serve",
+                       help="HTTP serving endpoint over the engine "
+                            "(JSON + base64-npy tensors)")
+    p.add_argument("--checkpoint_path", required=True)
+    p.add_argument("--roberta_path", default=None)
+    p.add_argument("--tokenizer_path", default=None)
+    p.add_argument("--checkpoint_path_gestsync", default=None)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--warmup_combos", default="",
+                   help="comma-separated combos to precompile before "
+                        "accepting traffic, e.g. vta,ta,a")
+    p.add_argument("--bf16", action="store_true")
+
     p = sub.add_parser("convert", help="convert checkpoints to native .npz")
     p.add_argument("--model", required=True,
                    choices=["gestsync", "jegal", "roberta"])
@@ -217,6 +231,15 @@ def build_parser():
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="linear LR warmup steps")
+    p.add_argument("--cosine_decay", action="store_true",
+                   help="cosine-decay the LR to 0 over --steps")
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient accumulation micro-steps per update")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize branch forwards in the backward pass "
+                        "(trades FLOPs for activation memory on long-T runs)")
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--ckpt_every", type=int, default=500)
     p.add_argument("--log_path", default=None)
@@ -691,6 +714,14 @@ def cmd_warmup(args):
                                                  for r in records), 3)}))
 
 
+def cmd_serve(args):
+    from jegal_tpu.serving import serve
+
+    engine = _load_engine(args)
+    combos = [c for c in args.warmup_combos.split(",") if c]
+    serve(engine, host=args.host, port=args.port, warmup_combos=combos)
+
+
 def cmd_convert(args):
     from jegal_tpu.convert import checkpoints as C
 
@@ -739,6 +770,10 @@ def cmd_train(args):
         steps=args.steps,
         batch_size=args.batch_size,
         lr=args.lr,
+        warmup_steps=args.warmup_steps,
+        cosine_decay=args.cosine_decay,
+        accum_steps=args.accum_steps,
+        remat=args.remat,
         ckpt_dir=args.ckpt_dir,
         ckpt_every=args.ckpt_every,
         log_path=args.log_path,
@@ -781,6 +816,7 @@ def main(argv=None):
         "extract-kps": cmd_extract_kps,
         "verify": cmd_verify,
         "warmup": cmd_warmup,
+        "serve": cmd_serve,
         "convert": cmd_convert,
         "transcribe": cmd_transcribe,
         "train": cmd_train,

@@ -28,6 +28,10 @@ def train(
     steps: int = 1000,
     batch_size: int = 8,
     lr: float = 1e-4,
+    warmup_steps: int = 0,
+    cosine_decay: bool = False,
+    accum_steps: int = 1,
+    remat: bool = False,
     ckpt_dir: str | None = None,
     ckpt_every: int = 500,
     log_path: str | None = None,
@@ -46,7 +50,10 @@ def train(
     df = pd.read_csv(csv_path)
     rng = np.random.default_rng(seed)
 
-    optimizer = trainer.make_optimizer(lr=lr)
+    optimizer = trainer.make_optimizer(
+        lr=lr, warmup_steps=warmup_steps,
+        total_steps=steps if cosine_decay else None,
+        accum_steps=accum_steps)
     state = trainer.init_state(jegal_params, optimizer)
     start_step = 0
     if ckpt_dir and os.path.isdir(ckpt_dir):
@@ -61,7 +68,7 @@ def train(
 
     n_dev = len(jax.devices())
     mesh = make_mesh(n_dev, model_parallel=model_parallel) if n_dev > 1 else None
-    step_fn = trainer.make_train_step(optimizer, roberta_cfg)
+    step_fn = trainer.make_train_step(optimizer, roberta_cfg, remat=remat)
     key = jax.random.PRNGKey(seed)
 
     def make_batch(max_attempts: int = 50):

@@ -93,15 +93,39 @@ def modality_drop_gates(key):
     return audio_gate, text_gate
 
 
-def loss_fn(params, roberta_params, batch, key, roberta_cfg):
+def loss_fn(params, roberta_params, batch, key, roberta_cfg,
+            remat: bool = False):
     gates = modality_drop_gates(key)
-    g, c = video_level_embeddings(params, roberta_params, batch, roberta_cfg,
-                                  gates)
+    fwd = video_level_embeddings
+    if remat:
+        # trade FLOPs for memory on long-T corpora: the branch forwards
+        # recompute in the backward pass instead of keeping activations
+        fwd = jax.checkpoint(video_level_embeddings,
+                             static_argnums=(3,))
+    g, c = fwd(params, roberta_params, batch, roberta_cfg, gates)
     return info_nce(g, c)
 
 
-def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2):
-    return optax.adamw(lr, weight_decay=weight_decay)
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2,
+                   warmup_steps: int = 0, total_steps: int | None = None,
+                   accum_steps: int = 1):
+    """AdamW, optionally with linear-warmup + cosine-decay (when
+    total_steps is given) and gradient accumulation over accum_steps
+    micro-batches (optax.MultiSteps — note the contrastive loss sees only
+    in-micro-batch negatives, the standard accumulation trade-off)."""
+    if total_steps is not None:
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr,
+            warmup_steps=max(warmup_steps, 1),
+            decay_steps=max(total_steps, warmup_steps + 1))
+    elif warmup_steps > 0:
+        schedule = optax.linear_schedule(0.0, lr, warmup_steps)
+    else:
+        schedule = lr
+    opt = optax.adamw(schedule, weight_decay=weight_decay)
+    if accum_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accum_steps)
+    return opt
 
 
 def init_state(params, optimizer) -> TrainState:
@@ -109,9 +133,9 @@ def init_state(params, optimizer) -> TrainState:
 
 
 def train_step(state: TrainState, batch, key, *, roberta_params, roberta_cfg,
-               optimizer) -> tuple[TrainState, jnp.ndarray]:
+               optimizer, remat: bool = False) -> tuple[TrainState, jnp.ndarray]:
     loss, grads = jax.value_and_grad(loss_fn)(
-        state.params, roberta_params, batch, key, roberta_cfg)
+        state.params, roberta_params, batch, key, roberta_cfg, remat)
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), loss
@@ -133,17 +157,24 @@ def shard_training(mesh, state: TrainState, roberta_params, batch):
     params = shard_pytree(state.params, jspec, mesh)
 
     def place_opt(node):
-        # adamw moments mirror the param tree; other leaves replicate
+        # adamw moments / accumulated grads mirror the param tree; other
+        # leaves replicate
         try:
             return shard_pytree(node, jspec, mesh)
         except (ValueError, KeyError, TypeError):
             return jax.device_put(node, NamedSharding(mesh, P()))
 
-    opt_state = tuple(
-        type(s)(*[place_opt(getattr(s, f)) for f in s._fields])
-        if hasattr(s, "_fields") else place_opt(s)
-        for s in state.opt_state
-    )
+    def place_opt_tree(s):
+        # preserve optimizer-state container types exactly (plain tuples,
+        # optax NamedTuples, and nested wrappers like MultiStepsState)
+        if hasattr(s, "_fields"):
+            return type(s)(*[place_opt_tree(getattr(s, f))
+                             for f in s._fields])
+        if isinstance(s, tuple):
+            return tuple(place_opt_tree(x) for x in s)
+        return place_opt(s)
+
+    opt_state = place_opt_tree(state.opt_state)
     step = jax.device_put(state.step, NamedSharding(mesh, P()))
     rparams = shard_pytree(
         roberta_params, roberta_param_spec(len(roberta_params["layers"])), mesh)
@@ -152,14 +183,15 @@ def shard_training(mesh, state: TrainState, roberta_params, batch):
     return TrainState(params, opt_state, step), rparams, batch
 
 
-def make_train_step(optimizer, roberta_cfg):
+def make_train_step(optimizer, roberta_cfg, remat: bool = False):
     """jit-compiled train step; sharding is inherited from the (committed)
     input placements produced by `shard_training` — GSPMD inserts the data
     psum for gradients and the TP collectives automatically."""
 
     def wrapped(state, batch, key, roberta_params):
         return train_step(state, batch, key, roberta_params=roberta_params,
-                          roberta_cfg=roberta_cfg, optimizer=optimizer)
+                          roberta_cfg=roberta_cfg, optimizer=optimizer,
+                          remat=remat)
 
     # donate the old state: params + both adam moments are overwritten each
     # step, halving training HBM

@@ -1,0 +1,124 @@
+"""HTTP serving endpoint: wire protocol, sample-rejected status, faults."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+from jegal_tpu.api import JegalEngine
+from jegal_tpu.models import jegal as J
+from jegal_tpu.serving import create_server, decode_array, encode_array
+
+from tok_util import make_word_tokenizer
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    import torch
+
+    from jegal_tpu.models import roberta as R
+    from transformers import XLMRobertaConfig, XLMRobertaModel
+
+    cfg = R.RobertaConfig(vocab_size=64, hidden_size=768, num_layers=1,
+                          num_heads=8, intermediate_size=256,
+                          max_position_embeddings=64)
+    torch.manual_seed(7)
+    hf = XLMRobertaModel(XLMRobertaConfig(
+        vocab_size=64, hidden_size=768, num_hidden_layers=1,
+        num_attention_heads=8, intermediate_size=256,
+        max_position_embeddings=64, pad_token_id=1)).eval()
+    engine = JegalEngine(
+        jegal_params=J.init_params(jax.random.PRNGKey(3)),
+        roberta_params=R.params_from_hf(hf.state_dict(), cfg),
+        roberta_cfg=cfg,
+        tokenizer=make_word_tokenizer(),
+    )
+    server = create_server(engine, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/extract", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_healthz(server_url):
+    with urllib.request.urlopen(server_url + "/healthz") as resp:
+        body = json.loads(resp.read())
+    assert resp.status == 200 and body["ok"]
+
+
+def test_extract_ta_roundtrip(server_url):
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(16000) * 500).astype(np.float32)
+    status, body = _post(server_url, {
+        "modalities": "ta",
+        "text": "hello world abc",
+        "word_boundaries": [["hello", 2, 7], ["world", 8, 12],
+                            ["abc", 13, 18]],
+        "wav": encode_array(wav),
+        "fname": "clip0",
+    })
+    assert status == 200
+    assert body["gesture_emb"] is None
+    content = decode_array(body["content_emb"])
+    assert content.shape == (3, 512)
+    np.testing.assert_allclose(np.linalg.norm(content, axis=-1), 1.0,
+                               rtol=1e-4)
+    assert body["info"]["fname"] == "clip0"
+
+
+def test_extract_visual_feats(server_url):
+    rng = np.random.default_rng(1)
+    status, body = _post(server_url, {
+        "modalities": "v",
+        "visual_feats": encode_array(
+            rng.standard_normal((17, 1024)).astype(np.float32)),
+    })
+    assert status == 200
+    assert decode_array(body["gesture_emb"]).shape == (17, 512)
+    assert body["content_emb"] is None
+
+
+def test_invalid_sample_is_422(server_url):
+    """Mismatched text/audio word counts reject per reference rules."""
+    rng = np.random.default_rng(2)
+    wav = (rng.standard_normal(16000) * 500).astype(np.float32)
+    try:
+        _post(server_url, {
+            "modalities": "ta",
+            "text": "one two",
+            "word_boundaries": [["one", 1, 5]],  # 1 boundary vs 2 words
+            "wav": encode_array(wav),
+        })
+        raise AssertionError("expected HTTP 422")
+    except urllib.error.HTTPError as e:
+        assert e.code == 422
+        assert "rejected" in json.loads(e.read())["error"]
+
+
+def test_bad_request_is_400(server_url):
+    try:
+        _post(server_url, {"modalities": "v"})  # 'v' without any visual
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_unknown_path_404(server_url):
+    try:
+        urllib.request.urlopen(server_url + "/nope")
+        raise AssertionError("expected HTTP 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
