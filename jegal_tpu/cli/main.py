@@ -199,6 +199,10 @@ def build_parser():
     p.add_argument("--warmup_combos", default="",
                    help="comma-separated combos to precompile before "
                         "accepting traffic, e.g. vta,ta,a")
+    p.add_argument("--batch_window_ms", type=float, default=0.0,
+                   help=">0 batches concurrent requests into one device "
+                        "dispatch (adds up to this much latency)")
+    p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--bf16", action="store_true")
 
     p = sub.add_parser("convert", help="convert checkpoints to native .npz")
@@ -719,7 +723,8 @@ def cmd_serve(args):
 
     engine = _load_engine(args)
     combos = [c for c in args.warmup_combos.split(",") if c]
-    serve(engine, host=args.host, port=args.port, warmup_combos=combos)
+    serve(engine, host=args.host, port=args.port, warmup_combos=combos,
+          batch_window_ms=args.batch_window_ms, max_batch=args.max_batch)
 
 
 def cmd_convert(args):

@@ -30,7 +30,9 @@ from __future__ import annotations
 import base64
 import io
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -50,7 +52,62 @@ def decode_array(b64: str | None):
     return np.load(io.BytesIO(base64.b64decode(b64)), allow_pickle=False)
 
 
-def _make_handler(engine, lock: threading.Lock):
+class _Batcher:
+    """Cross-request batching: concurrent /extract requests within a small
+    window run as ONE engine.extract_many dispatch (same-bucket samples
+    share a graph launch — the serving counterpart of the driver's
+    cross-video batching). Per-sample semantics are identical to
+    engine.extract (batch padding is exactly neutral, tested)."""
+
+    def __init__(self, engine, window_ms: float, max_batch: int):
+        self.engine = engine
+        self.window = window_ms / 1000.0
+        self.max_batch = max_batch
+        self.q: queue.Queue = queue.Queue()
+        threading.Thread(target=self._run, daemon=True).start()
+
+    def submit(self, modalities: str, sample: dict):
+        """Blocking; -> result dict | None (rejected) | raises the
+        batch's engine error."""
+        ev = threading.Event()
+        slot: dict = {}
+        self.q.put((modalities, sample, ev, slot))
+        ev.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["result"]
+
+    def _run(self):
+        while True:
+            items = [self.q.get()]
+            deadline = time.monotonic() + self.window
+            while len(items) < self.max_batch:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    items.append(self.q.get(timeout=left))
+                except queue.Empty:
+                    break
+            by_mod: dict = {}
+            for it in items:
+                by_mod.setdefault(it[0], []).append(it)
+            for mod, group in by_mod.items():
+                try:
+                    results = self.engine.extract_many(
+                        [g[1] for g in group], modalities=mod,
+                        batch_size=self.max_batch)
+                except Exception as e:
+                    for _, _, ev, slot in group:
+                        slot["error"] = e
+                        ev.set()
+                    continue
+                for (_, _, ev, slot), res in zip(group, results):
+                    slot["result"] = res
+                    ev.set()
+
+
+def _make_handler(engine, lock: threading.Lock, batcher: _Batcher | None):
     class Handler(BaseHTTPRequestHandler):
         server_version = "jegal_tpu"
 
@@ -89,19 +146,23 @@ def _make_handler(engine, lock: threading.Lock):
                 return self._reply(400, {"error": f"bad array: {e}"})
             modalities = req.get("modalities", "vta")
             try:
-                with lock:  # one device: serialize the jitted forwards
-                    if visual_feats is None and frames is not None:
+                if visual_feats is None and frames is not None:
+                    with lock:
                         visual_feats = engine.gestsync_features_from_raw(
                             np.asarray(frames, np.uint8))
-                    out = engine.extract(
-                        modalities=modalities,
-                        visual_feats=visual_feats,
-                        text=req.get("text"),
-                        word_boundaries=req.get("word_boundaries"),
-                        wav=None if wav is None
-                        else np.asarray(wav, np.float32),
-                        fname=req.get("fname"),
-                    )
+                sample = dict(
+                    visual_feats=visual_feats,
+                    text=req.get("text"),
+                    word_boundaries=req.get("word_boundaries"),
+                    wav=None if wav is None
+                    else np.asarray(wav, np.float32),
+                    fname=req.get("fname"),
+                )
+                if batcher is not None:
+                    out = batcher.submit(modalities, sample)
+                else:
+                    with lock:  # one device: serialize the forwards
+                        out = engine.extract(modalities=modalities, **sample)
             except (ValueError, RuntimeError) as e:
                 return self._reply(400, {"error": str(e)})
             except Exception as e:  # genuine server fault
@@ -119,19 +180,27 @@ def _make_handler(engine, lock: threading.Lock):
     return Handler
 
 
-def create_server(engine, host: str = "0.0.0.0",
-                  port: int = 8000) -> ThreadingHTTPServer:
+def create_server(engine, host: str = "0.0.0.0", port: int = 8000,
+                  batch_window_ms: float = 0.0,
+                  max_batch: int = 8) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server; `.serve_forever()` runs it.
-    Port 0 binds an ephemeral port (tests)."""
-    return ThreadingHTTPServer((host, port),
-                               _make_handler(engine, threading.Lock()))
+    Port 0 binds an ephemeral port (tests). batch_window_ms > 0 batches
+    concurrent requests into one device dispatch (_Batcher)."""
+    batcher = (_Batcher(engine, batch_window_ms, max_batch)
+               if batch_window_ms > 0 else None)
+    return ThreadingHTTPServer(
+        (host, port), _make_handler(engine, threading.Lock(), batcher))
 
 
 def serve(engine, host: str = "0.0.0.0", port: int = 8000,
-          warmup_combos=()) -> None:
+          warmup_combos=(), batch_window_ms: float = 0.0,
+          max_batch: int = 8) -> None:
     for combo in warmup_combos:
         engine.warmup(modalities=combo)
-    server = create_server(engine, host, port)
+    server = create_server(engine, host, port,
+                           batch_window_ms=batch_window_ms,
+                           max_batch=max_batch)
     print(json.dumps({"serving": f"http://{host}:{server.server_address[1]}",
-                      "warmed": list(warmup_combos)}))
+                      "warmed": list(warmup_combos),
+                      "batch_window_ms": batch_window_ms}))
     server.serve_forever()

@@ -116,6 +116,58 @@ def test_bad_request_is_400(server_url):
         assert e.code == 400
 
 
+def test_batched_server_matches_unbatched(server_url):
+    """Concurrent requests through a batch_window server produce the same
+    embeddings as the serialized server (cross-request batching is exactly
+    neutral), and per-request errors stay per-request."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import torch
+
+    from jegal_tpu.models import roberta as R
+    from transformers import XLMRobertaConfig, XLMRobertaModel
+
+    cfg = R.RobertaConfig(vocab_size=64, hidden_size=768, num_layers=1,
+                          num_heads=8, intermediate_size=256,
+                          max_position_embeddings=64)
+    torch.manual_seed(7)
+    hf = XLMRobertaModel(XLMRobertaConfig(
+        vocab_size=64, hidden_size=768, num_hidden_layers=1,
+        num_attention_heads=8, intermediate_size=256,
+        max_position_embeddings=64, pad_token_id=1)).eval()
+    engine = JegalEngine(
+        jegal_params=J.init_params(jax.random.PRNGKey(3)),
+        roberta_params=R.params_from_hf(hf.state_dict(), cfg),
+        roberta_cfg=cfg, tokenizer=make_word_tokenizer())
+    server = create_server(engine, host="127.0.0.1", port=0,
+                           batch_window_ms=100, max_batch=4)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    burl = f"http://127.0.0.1:{server.server_address[1]}"
+
+    rng = np.random.default_rng(3)
+    payloads = []
+    for i in range(4):
+        wav = (rng.standard_normal(16000 + 800 * i) * 500).astype(np.float32)
+        payloads.append({
+            "modalities": "ta",
+            "text": "hello world abc",
+            "word_boundaries": [["hello", 2, 7], ["world", 8, 12],
+                                ["abc", 13, 18]],
+            "wav": encode_array(wav), "fname": f"r{i}"})
+
+    with ThreadPoolExecutor(4) as ex:
+        batched = list(ex.map(lambda p: _post(burl, p), payloads))
+    for i, (status, body) in enumerate(batched):
+        assert status == 200
+        ref_status, ref_body = _post(server_url, payloads[i])  # unbatched
+        assert ref_status == 200
+        np.testing.assert_allclose(
+            decode_array(body["content_emb"]),
+            decode_array(ref_body["content_emb"]), rtol=2e-5, atol=2e-5)
+        assert body["info"]["fname"] == f"r{i}"
+    server.shutdown()
+
+
 def test_unknown_path_404(server_url):
     try:
         urllib.request.urlopen(server_url + "/nope")
