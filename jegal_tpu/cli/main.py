@@ -510,23 +510,33 @@ def cmd_extract_feats(args):
     def flush():
         if not batch:
             return
+        # compute first (batched, with a per-clip fallback so one bad clip
+        # cannot sink its batchmates), THEN save with per-file error
+        # capture — a failed np.save must not trigger recompute or
+        # double-count clips that already saved
         try:
             feats = engine.gestsync_features_from_raw_many(
                 [(fr, chin) for _, _, (fr, chin) in batch],
                 batch_size=args.batch_size)
-            for (f, out, _), feat in zip(batch, feats):
-                save_one(f, out, feat)
         except Exception:
-            # one bad clip must not sink its batchmates: retry per clip and
-            # record individual failures in the ledger
-            for f, out, (fr, chin) in batch:
+            feats = []
+            for f, _, (fr, chin) in batch:
                 try:
-                    save_one(f, out,
-                             engine.gestsync_features_from_raw(fr, chin))
+                    feats.append(engine.gestsync_features_from_raw(fr, chin))
                 except Exception as e:
+                    feats.append(None)
                     stats["failed"] += 1
                     print(json.dumps({"file": f, "error": str(e)}),
                           file=sys.stderr)
+        for (f, out, _), feat in zip(batch, feats):
+            if feat is None:
+                continue
+            try:
+                save_one(f, out, feat)
+            except Exception as e:
+                stats["failed"] += 1
+                print(json.dumps({"file": f, "error": str(e)}),
+                      file=sys.stderr)
         batch.clear()
 
     while True:

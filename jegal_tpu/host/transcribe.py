@@ -91,8 +91,10 @@ def transcribe_folder(path: str, result_dir: str, batch_size: int = 8,
                       ) -> dict:
     """Folder-batch driver (reference extract_transcripts_whisperx.py
     get_predictions): every audio file under `path` -> `<result_dir>/
-    <parent>/<stem>.txt`, idempotent skip-if-exists resume, structured
-    error ledger instead of the reference's silent tqdm loop."""
+    <relpath-under-path, .txt>` (full structure mirrored — the reference
+    keys only on the immediate parent's basename and collides on deeper
+    trees), idempotent skip-if-exists resume, structured error ledger
+    instead of the reference's silent tqdm loop."""
     backend = backend or WhisperXBackend()
     files = sorted(
         f for f in glob.glob(os.path.join(path, "**", "*"), recursive=True)

@@ -8,7 +8,7 @@ through a lock around the jitted forwards; the (combo, bucket) jit cache +
 
 Wire protocol (JSON; arrays as base64-encoded .npy):
 
-  GET  /healthz           -> {"ok": true, "combos": [...], "graphs": N}
+  GET  /healthz           -> {"ok": true, "graphs": N}   # N compiled graphs
   POST /extract           body: {
       "modalities": "vta" | ... | "a",
       "text": str | null,
@@ -59,10 +59,12 @@ class _Batcher:
     cross-video batching). Per-sample semantics are identical to
     engine.extract (batch padding is exactly neutral, tested)."""
 
-    def __init__(self, engine, window_ms: float, max_batch: int):
+    def __init__(self, engine, window_ms: float, max_batch: int,
+                 lock: threading.Lock):
         self.engine = engine
         self.window = window_ms / 1000.0
         self.max_batch = max_batch
+        self.lock = lock        # shared with the raw-frames tower path
         self.q: queue.Queue = queue.Queue()
         threading.Thread(target=self._run, daemon=True).start()
 
@@ -94,12 +96,21 @@ class _Batcher:
                 by_mod.setdefault(it[0], []).append(it)
             for mod, group in by_mod.items():
                 try:
-                    results = self.engine.extract_many(
-                        [g[1] for g in group], modalities=mod,
-                        batch_size=self.max_batch)
-                except Exception as e:
-                    for _, _, ev, slot in group:
-                        slot["error"] = e
+                    with self.lock:  # one device: shared with /frames path
+                        results = self.engine.extract_many(
+                            [g[1] for g in group], modalities=mod,
+                            batch_size=self.max_batch)
+                except Exception:
+                    # per-request isolation: one malformed batchmate must
+                    # not fail the others — retry each sample alone and
+                    # attribute errors individually
+                    for _, sample, ev, slot in group:
+                        try:
+                            with self.lock:
+                                slot["result"] = self.engine.extract(
+                                    modalities=mod, **sample)
+                        except Exception as e:
+                            slot["error"] = e
                         ev.set()
                     continue
                 for (_, _, ev, slot), res in zip(group, results):
@@ -138,11 +149,14 @@ def _make_handler(engine, lock: threading.Lock, batcher: _Batcher | None):
                 req = json.loads(self.rfile.read(n))
             except (ValueError, json.JSONDecodeError) as e:
                 return self._reply(400, {"error": f"bad request: {e}"})
+            if not isinstance(req, dict):
+                return self._reply(400, {"error": "body must be a JSON "
+                                                  "object"})
             try:
                 visual_feats = decode_array(req.get("visual_feats"))
                 frames = decode_array(req.get("frames"))
                 wav = decode_array(req.get("wav"))
-            except (ValueError, OSError) as e:
+            except (ValueError, OSError, TypeError) as e:
                 return self._reply(400, {"error": f"bad array: {e}"})
             modalities = req.get("modalities", "vta")
             try:
@@ -163,9 +177,12 @@ def _make_handler(engine, lock: threading.Lock, batcher: _Batcher | None):
                 else:
                     with lock:  # one device: serialize the forwards
                         out = engine.extract(modalities=modalities, **sample)
-            except (ValueError, RuntimeError) as e:
+            except ValueError as e:  # client data problem
                 return self._reply(400, {"error": str(e)})
-            except Exception as e:  # genuine server fault
+            except Exception as e:
+                # server fault — including RuntimeError subclasses like
+                # jaxlib's XlaRuntimeError (device OOM / compile failure)
+                # and engine misconfiguration, which are NOT client errors
                 return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
             if out is None:
                 return self._reply(422, {
@@ -186,17 +203,21 @@ def create_server(engine, host: str = "0.0.0.0", port: int = 8000,
     """Build (but do not start) the HTTP server; `.serve_forever()` runs it.
     Port 0 binds an ephemeral port (tests). batch_window_ms > 0 batches
     concurrent requests into one device dispatch (_Batcher)."""
-    batcher = (_Batcher(engine, batch_window_ms, max_batch)
+    lock = threading.Lock()
+    batcher = (_Batcher(engine, batch_window_ms, max_batch, lock)
                if batch_window_ms > 0 else None)
     return ThreadingHTTPServer(
-        (host, port), _make_handler(engine, threading.Lock(), batcher))
+        (host, port), _make_handler(engine, lock, batcher))
 
 
 def serve(engine, host: str = "0.0.0.0", port: int = 8000,
           warmup_combos=(), batch_window_ms: float = 0.0,
           max_batch: int = 8) -> None:
+    # warm the graphs the traffic will actually hit: the batcher dispatches
+    # fixed max_batch batches via extract_many, not batch-1 forwards
+    warm_batch = max_batch if batch_window_ms > 0 else 1
     for combo in warmup_combos:
-        engine.warmup(modalities=combo)
+        engine.warmup(modalities=combo, batch=warm_batch)
     server = create_server(engine, host, port,
                            batch_window_ms=batch_window_ms,
                            max_batch=max_batch)

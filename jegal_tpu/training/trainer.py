@@ -112,14 +112,28 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2,
     """AdamW, optionally with linear-warmup + cosine-decay (when
     total_steps is given) and gradient accumulation over accum_steps
     micro-batches (optax.MultiSteps — note the contrastive loss sees only
-    in-micro-batch negatives, the standard accumulation trade-off)."""
+    in-micro-batch negatives, the standard accumulation trade-off).
+
+    warmup_steps/total_steps are in LOOP steps (micro-batches). The inner
+    schedule only advances on APPLIED updates — once per accum_steps — so
+    the counts are converted here; without the conversion a
+    --cosine_decay --accum_steps 4 run would end at ~0.85*peak LR instead
+    of 0."""
+    k = max(accum_steps, 1)
+    sched_warmup = warmup_steps // k
     if total_steps is not None:
-        schedule = optax.warmup_cosine_decay_schedule(
-            init_value=0.0, peak_value=lr,
-            warmup_steps=max(warmup_steps, 1),
-            decay_steps=max(total_steps, warmup_steps + 1))
-    elif warmup_steps > 0:
-        schedule = optax.linear_schedule(0.0, lr, warmup_steps)
+        sched_total = max(total_steps // k, sched_warmup + 1)
+        if sched_warmup > 0:
+            schedule = optax.warmup_cosine_decay_schedule(
+                init_value=0.0, peak_value=lr, warmup_steps=sched_warmup,
+                decay_steps=sched_total)
+        else:
+            # no warmup requested: start AT peak (a forced 1-step warmup
+            # from 0 would silently zero the first applied update)
+            schedule = optax.cosine_decay_schedule(
+                init_value=lr, decay_steps=sched_total)
+    elif sched_warmup > 0:
+        schedule = optax.linear_schedule(0.0, lr, sched_warmup)
     else:
         schedule = lr
     opt = optax.adamw(schedule, weight_decay=weight_decay)

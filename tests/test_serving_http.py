@@ -165,6 +165,24 @@ def test_batched_server_matches_unbatched(server_url):
             decode_array(body["content_emb"]),
             decode_array(ref_body["content_emb"]), rtol=2e-5, atol=2e-5)
         assert body["info"]["fname"] == f"r{i}"
+
+    # per-request error isolation: a malformed batchmate (ta without
+    # word_boundaries) must 400 alone; the concurrent valid request
+    # still succeeds
+    def post_either(p):
+        try:
+            return _post(burl, p)
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    bad = dict(payloads[0])
+    bad.pop("word_boundaries")
+    with ThreadPoolExecutor(2) as ex:
+        futs = [ex.submit(post_either, payloads[0]),
+                ex.submit(post_either, bad)]
+        (s_ok, b_ok), (s_bad, b_bad) = [f.result() for f in futs]
+    assert s_ok == 200 and b_ok["content_emb"] is not None
+    assert s_bad == 400 and "word_boundaries" in b_bad["error"]
     server.shutdown()
 
 

@@ -42,6 +42,25 @@ def test_modality_drop_gates_distribution():
     assert not ((gates[:, 0] == 0) & (gates[:, 1] == 0)).any()
 
 
+def test_schedule_counts_convert_for_accumulation():
+    """warmup/total are LOOP steps; the inner schedule advances once per
+    accum_steps applied update, so cosine must still complete by the end
+    (regression: it used to end at ~0.85*peak with accum_steps=4)."""
+    opt = trainer.make_optimizer(lr=1.0, weight_decay=0.0, total_steps=8,
+                                 accum_steps=2)
+    params = {"w": jnp.ones(())}
+    st = opt.init(params)
+    g = {"w": jnp.ones(())}
+    mags = []
+    for _ in range(8):
+        up, st = opt.update(g, st, params)
+        mags.append(abs(float(up["w"])))
+    applied = [m for m in mags if m > 0]
+    assert len(applied) == 4          # one applied update per 2 micro-steps
+    assert applied[0] > 0.9           # no warmup requested -> starts AT peak
+    assert applied[-1] < applied[0] * 0.25  # cosine completed by the end
+
+
 @pytest.mark.slow
 def test_loss_decreases():
     jparams, rparams, cfg, batch = _tiny_setup()
