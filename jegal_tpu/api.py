@@ -431,12 +431,27 @@ class JegalEngine:
         device batch (optionally sharded over the mesh 'data' axis — the
         pjit data-parallel path for v5e-8 batch sweeps).
 
-        samples: dicts with visual_feats/text/word_boundaries/wav/fname.
-        Returns per-sample result dicts (None for invalid samples),
-        numerically identical to per-sample extract (batch padding is
-        exactly neutral).
+        samples: dicts with visual_feats/text/word_boundaries/wav/fname;
+        for 'v' combos a sample may instead carry raw decoder frames
+        ("frames" (T, 270, 480, 3) uint8 + optional "chin_rows"), which run
+        through the cross-video batched GestSync tower first. Returns
+        per-sample result dicts (None for invalid samples), numerically
+        identical to per-sample extract (batch padding is exactly neutral).
         """
         use = ("v" in modalities, "t" in modalities, "a" in modalities)
+        if use[0]:
+            # batch the tower for any samples that arrived as raw frames
+            todo = [i for i, s in enumerate(samples)
+                    if s.get("visual_feats") is None
+                    and s.get("frames") is not None]
+            if todo:
+                feats = self.gestsync_features_from_raw_many(
+                    [(np.asarray(samples[i]["frames"], np.uint8),
+                      samples[i].get("chin_rows")) for i in todo],
+                    batch_size=batch_size)
+                samples = list(samples)
+                for i, f in zip(todo, feats):
+                    samples[i] = dict(samples[i], visual_feats=f)
         prepared = []
         for s in samples:
             prep = self._prepare_sample(

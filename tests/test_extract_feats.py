@@ -82,6 +82,32 @@ def test_extract_feats_cli_batched_equals_single(tmp_path, rng, capsys):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
 
 
+def test_extract_many_from_raw_frames(rng):
+    """extract_many accepts raw frames for 'v' samples and routes them
+    through the batched tower; results equal the visual_feats path."""
+    import jax.numpy as jnp
+
+    from jegal_tpu.api import JegalEngine
+    from jegal_tpu.models import gestsync as G
+    from jegal_tpu.models import jegal as J
+
+    engine = JegalEngine(
+        jegal_params=J.init_params(jax.random.PRNGKey(2)),
+        gestsync_params=G.init_params(jax.random.PRNGKey(3)))
+    frames = (rng.random((2, 5, 270, 480, 3)) * 255).astype(np.uint8)
+    outs = engine.extract_many(
+        [{"frames": frames[0], "fname": "f0"},
+         {"frames": frames[1], "fname": "f1"}],
+        modalities="v", batch_size=2)
+    assert outs[0]["gesture_emb"].shape == (5, 512)
+    # equals the precomputed-features path
+    feats = engine.gestsync_features_from_raw_many(
+        [(frames[0], None), (frames[1], None)], batch_size=2)
+    ref = engine.extract(modalities="v", visual_feats=feats[1], fname="f1")
+    np.testing.assert_allclose(outs[1]["gesture_emb"], ref["gesture_emb"],
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_long_video_pe_extension(rng):
     """T > 500 (the reference's PE cap, where it would crash) must work."""
     import jax.numpy as jnp
