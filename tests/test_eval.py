@@ -134,6 +134,29 @@ def test_asd(tmp_path, rng):
     assert res["acc_2spk"] == 1.0 and res["acc_4spk"] == 1.0
 
 
+def test_asd_counts_follow_config(tmp_path, rng, monkeypatch):
+    """counts must be built from config.asd_speakers, not a hard-coded
+    {2,4,6} (regression: a changed config raised KeyError)."""
+    import dataclasses
+
+    d = tmp_path / "asd"
+    d.mkdir()
+    base = rng.standard_normal((3, 512)).astype(np.float32)
+    for i, n in enumerate(["s0/a", "s1/b", "s2/c"]):
+        g = np.tile(base[i], (5, 1))
+        _write_pkl(d / (n.replace("/", "__") + ".pkl"), g,
+                   np.tile(base[i], (3, 1)), {})
+    df = pd.DataFrame([
+        {"filename": "s0/a", "neg_files": str(["s1/b", "s2/c"])}])
+    cfg = dataclasses.replace(asd._CFG,
+                              eval=dataclasses.replace(asd._CFG.eval,
+                                                       asd_speakers=(2, 3)))
+    monkeypatch.setattr(asd, "_CFG", cfg)
+    res = asd.evaluate(str(d), df)
+    assert res["acc_2spk"] == 1.0 and res["acc_3spk"] == 1.0
+    assert "acc_4spk" not in res
+
+
 def test_attention_matrix_shape_and_softmax(rng):
     g = rng.standard_normal((12, 32)).astype(np.float32)
     c = rng.standard_normal((4, 32)).astype(np.float32)
