@@ -51,6 +51,27 @@ def test_forward_vid_parity(rng):
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_forward_aud_parity(rng):
+    """The audio sync branch vs reference forward_aud (checkpoint-compat
+    path, models/gestsync.py:164-168) — torch NCHW (B,1,F,T) maps to our
+    NHWC (B,F,T,1)."""
+    gm = ref_gestsync()
+    ref = gm.GestSync().eval()
+    _randomize_bn(ref)
+
+    x = rng.random((1, 1, 80, 100), dtype=np.float64).astype(np.float32)
+    with torch.no_grad():
+        want = to_numpy(ref.forward_aud(torch.from_numpy(x)))  # (1,1024,T')
+
+    params = G.params_from_torch(ref.state_dict())
+    got = np.asarray(G.forward_aud(params, jnp.asarray(
+        x.transpose(0, 2, 3, 1))))  # NHWC
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
 def test_shared_conv_equals_per_window(rng):
     """The shared-conv fast path must produce the same features as running the
     conv tower independently per sliding window (the reference's algorithm)."""
