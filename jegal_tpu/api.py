@@ -80,6 +80,12 @@ class JegalEngine:
             self.jegal_params = cast(self.jegal_params)
             self.roberta_params = cast(self.roberta_params)
             self.gestsync_params = cast(self.gestsync_params)
+        if (self.roberta_params is not None
+                and isinstance(self.roberta_params.get("layers"),
+                               (list, tuple))):
+            # scan layout: ~2x faster XLA compiles of the encoder stack
+            # (serving warm-start) — see roberta.stack_layers
+            self.roberta_params = R.stack_layers(self.roberta_params)
         self._combo_cache: dict = {}
         self._gestsync_fn = None
         self._gestsync_raw_fn = None

@@ -63,3 +63,19 @@ def test_encoder_parity(rng):
     # must be identical
     got2 = np.asarray(R.forward(params, jnp.asarray(ids2), jnp.asarray(mask), cfg))
     np.testing.assert_allclose(got2[0, :6], got[0, :6], rtol=1e-5, atol=1e-5)
+
+
+def test_stacked_scan_layout_matches_loop(rng):
+    """R.stack_layers + the lax.scan path must equal the list-of-layers
+    loop (the engine stacks at load time for ~2x faster compiles)."""
+    model, cfg = _tiny()
+    params = R.params_from_hf(model.state_dict(), cfg)
+    ids = np.array([[0, 5, 9, 17, 2, 1, 1, 1]], dtype=np.int64)
+    mask = (ids != 1).astype(np.int64)
+    loop = np.asarray(R.forward(params, jnp.asarray(ids), jnp.asarray(mask),
+                                cfg))
+    stacked = R.stack_layers(params)
+    assert not isinstance(stacked["layers"], (list, tuple))
+    scan = np.asarray(R.forward(stacked, jnp.asarray(ids), jnp.asarray(mask),
+                                cfg))
+    np.testing.assert_allclose(scan, loop, rtol=1e-6, atol=1e-6)
