@@ -203,11 +203,41 @@ def encoder_layer(params, x, mask, num_heads: int):
     return x + _ffn(params["ff"], h)
 
 
-def encoder_stack(params, x, mask, num_heads: int):
-    """N pre-norm layers + final reference LayerNorm."""
-    for layer in params["layers"]:
-        x = encoder_layer(layer, x, mask, num_heads)
-    return ref_layer_norm(params["norm"], x)
+def encoder_stack(params, x, mask, num_heads: int, fused: bool = True):
+    """N pre-norm layers + final reference LayerNorm.
+
+    On TPU, when the mask is a pure key-validity mask and the sequence
+    length tiles (fused_layer.fused_stack_ok), the layers run as fused
+    Pallas sublayer kernels over the flattened (B*T, d) rows — backend
+    chosen at lowering time like the flash dispatch. The python-loop path
+    below is the oracle and the fallback everywhere else.
+
+    fused=False forces the XLA loop — required under reverse-mode autodiff
+    (the fused kernels are inference-only, no VJP): the trainer's loss
+    passes it (training/trainer.py)."""
+    from jegal_tpu.ops.pallas import fused_layer as FL
+
+    b, t, d = x.shape
+
+    def xla_loop(h):
+        for layer in params["layers"]:
+            h = encoder_layer(layer, h, mask, num_heads)
+        return h
+
+    if fused and FL.enabled() and FL.fused_stack_ok(t, d, num_heads):
+        kmask = _key_mask(mask, b, t)
+        if kmask is not False:
+            km = None if kmask is None else kmask.reshape(-1)
+
+            def fused(h):
+                out = FL.fused_prenorm_stack(
+                    params, h.reshape(b * t, d), t, num_heads, kmask=km)
+                return out.reshape(b, t, d)
+
+            x = jax.lax.platform_dependent(x, tpu=fused, default=xla_loop)
+            return ref_layer_norm(params["norm"], x)
+
+    return ref_layer_norm(params["norm"], xla_loop(x))
 
 
 # ---------------------------------------------------------------------------

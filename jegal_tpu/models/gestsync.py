@@ -266,8 +266,28 @@ def _window_stack(tokens):
     return wins + pe
 
 
-def _window_head_flat(params, wins, batch: int | None):
-    """wins: (N, 21, 512) -> (N, 1024), optionally in static-size slices."""
+def _window_head_fused(params, wins, interpret: bool = False):
+    """Fused-kernel window head: (N, 21, 512) -> (N, 1024).
+
+    The 6 post-norm layers run as fused Pallas sublayer kernels over the
+    flattened N*21 window rows (block-diagonal attention across the
+    independent 21-token windows — ops/pallas/fused_layer); the ff1/ff2
+    head and the per-window mean stay in XLA (three large matmul-shaped
+    ops). Semantics oracle: _window_head_xla / reference
+    models/gestsync.py:148-162."""
+    from jegal_tpu.ops.pallas.fused_layer import fused_torch_stack
+
+    n = wins.shape[0]
+    h = fused_torch_stack(params["transformer"],
+                          wins.reshape(n * TOKENS, D_MODEL), TOKENS,
+                          NUM_HEADS, interpret=interpret)
+    h = linear(params["ff1"], h)
+    h = jax.nn.relu(h)
+    h = linear(params["ff2"], h)  # (N*21, 1024)
+    return jnp.mean(h.reshape(n, TOKENS, D_OUT), axis=1)
+
+
+def _window_head_xla(params, wins, batch: int | None):
     def head(w):
         h = torch_encoder_stack(params["transformer"], w, None, NUM_HEADS)
         h = linear(params["ff1"], h)
@@ -283,6 +303,23 @@ def _window_head_flat(params, wins, batch: int | None):
     wins = jnp.pad(wins, ((0, nb * batch - n), (0, 0), (0, 0)))
     out = jax.lax.map(head, wins.reshape(nb, batch, TOKENS, D_MODEL))
     return out.reshape(-1, D_OUT)[:n]
+
+
+def _window_head_flat(params, wins, batch: int | None):
+    """wins: (N, 21, 512) -> (N, 1024), optionally in static-size slices.
+
+    On TPU the transformer+head runs as the fused Pallas sublayer kernels
+    (backend chosen at LOWERING time, like the flash dispatch —
+    core/transformer.py:126-128); everywhere else, and when the fused
+    impl is switched off, the XLA path (also the parity oracle)."""
+    from jegal_tpu.ops.pallas import fused_layer as FL
+
+    if FL.enabled() and FL.fused_stack_ok(TOKENS, D_MODEL, NUM_HEADS):
+        return jax.lax.platform_dependent(
+            wins,
+            tpu=lambda w: _window_head_fused(params, w),
+            default=lambda w: _window_head_xla(params, w, batch))
+    return _window_head_xla(params, wins, batch)
 
 
 def window_head(params, tokens, batch: int | None = None):

@@ -74,8 +74,12 @@ def _mlp2(params, x):
 # Branches
 # ---------------------------------------------------------------------------
 
-def forward_gestures(params, visual_feats, visual_mask):
-    """(B, T, 1024), (B, T) -> (B, T, 512) gesture embeddings (pre-align)."""
+def forward_gestures(params, visual_feats, visual_mask, fused: bool = True):
+    """(B, T, 1024), (B, T) -> (B, T, 512) gesture embeddings (pre-align).
+
+    fused=False forces the XLA encoder loop (training path — the fused
+    Pallas sublayers are inference-only, see core/transformer.encoder_stack).
+    """
     x = linear(params["proj_ip_rgb"][0], visual_feats)
     x = std_layer_norm(params["proj_ip_ln"], x)
     x = jax.nn.relu(x)
@@ -87,14 +91,15 @@ def forward_gestures(params, visual_feats, visual_mask):
         max(PE_MAX_LEN, x.shape[1]), D_MODEL, x.dtype)
     x = x + pe[None, : x.shape[1]]
     mask = visual_mask[:, None, :] if visual_mask is not None else None
-    x = encoder_stack(params["encoder_rgb"], x, mask, NUM_HEADS)
+    x = encoder_stack(params["encoder_rgb"], x, mask, NUM_HEADS, fused=fused)
     return linear(params["proj_op_rgb"], x)
 
 
-def forward_text(params, roberta_out, text_mask):
+def forward_text(params, roberta_out, text_mask, fused: bool = True):
     """(B, S, 768), (B, S) -> (B, S, 256) subword embeddings."""
     mask = text_mask[:, None, :] if text_mask is not None else None
-    x = encoder_stack(params["encoder_text"], roberta_out, mask, NUM_HEADS)
+    x = encoder_stack(params["encoder_text"], roberta_out, mask, NUM_HEADS,
+                      fused=fused)
     return linear(params["proj_op_text"], x)
 
 

@@ -52,13 +52,16 @@ def video_level_embeddings(params, roberta_params, batch, roberta_cfg,
     audio_pool (B,W,Tm/4), word_mask (B,W).
     drop_gates: (audio_gate, text_gate) 0/1 scalars for modality dropout.
     """
-    g = J.forward_gestures(params, batch["visual_feats"], batch["visual_mask"])
+    # fused=False: this forward sits under jax.grad — the fused Pallas
+    # encoder sublayers are inference-only (no VJP)
+    g = J.forward_gestures(params, batch["visual_feats"],
+                           batch["visual_mask"], fused=False)
     gesture_vid = masked_mean(g, batch["visual_mask"])
 
     hidden = R.forward(roberta_params, batch["input_ids"], batch["text_mask"],
                        roberta_cfg)
     hidden = jax.lax.stop_gradient(hidden)  # frozen backbone
-    sub = J.forward_text(params, hidden, batch["text_mask"])
+    sub = J.forward_text(params, hidden, batch["text_mask"], fused=False)
     text_words = pool_words(batch["text_pool"], sub) * drop_gates[1]
 
     tokens = J.forward_audio(params, batch["audio_mel"],

