@@ -131,6 +131,14 @@ def build_parser():
                    help="also write merged <fname>_%%05d.mp4 (crop video + "
                         "audio muxed, reference preprocess_videos.py "
                         "filter_and_merge)")
+    p.add_argument("--final_dir", default=None,
+                   help="with --filter_csv: copy the CSV-selected crop "
+                        ".avi/.wav files from --preprocessed_root into this "
+                        "final tree (reference preprocess_videos.py "
+                        "filter_and_merge rsync stage)")
+    p.add_argument("--filter_csv", default=None,
+                   help="CSV with a 'filename' column of relative crop "
+                        "paths surviving filtering")
     p.add_argument("--fps", type=float, default=25.0)
     p.add_argument("--sample_rate", type=int, default=16000)
     p.add_argument("--rank", type=int, default=0)
@@ -194,7 +202,9 @@ def build_parser():
     p.add_argument("--roberta_path", default=None)
     p.add_argument("--tokenizer_path", default=None)
     p.add_argument("--checkpoint_path_gestsync", default=None)
-    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address; the endpoint has no auth — expose "
+                        "beyond loopback only behind a proxy/auth layer")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--warmup_combos", default="",
                    help="comma-separated combos to precompile before "
@@ -203,6 +213,11 @@ def build_parser():
                    help=">0 batches concurrent requests into one device "
                         "dispatch (adds up to this much latency)")
     p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--max_body_mb", type=int, default=512,
+                   help="reject request bodies larger than this (HTTP 413)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard batched extracts over all devices ('data' "
+                        "mesh axis); pairs with --batch_window_ms > 0")
     p.add_argument("--bf16", action="store_true")
 
     p = sub.add_parser("convert", help="convert checkpoints to native .npz")
@@ -627,8 +642,16 @@ def cmd_heatmap(args):
 
 
 def cmd_preprocess(args):
-    from jegal_tpu.host.preprocess import process_video
+    from jegal_tpu.host.preprocess import filter_copy, process_video
 
+    if args.final_dir or args.filter_csv:
+        # standalone filter/copy stage (no decoding)
+        if not (args.final_dir and args.filter_csv):
+            raise SystemExit("--final_dir and --filter_csv go together")
+        stats = filter_copy(args.filter_csv, args.preprocessed_root,
+                            args.final_dir)
+        print(json.dumps(stats))
+        return
     if bool(args.video_file) == bool(args.file_path):
         raise SystemExit("specify exactly one of --video_file / --file_path")
     if args.video_file:
@@ -729,12 +752,20 @@ def cmd_warmup(args):
 
 
 def cmd_serve(args):
+    import jax
+
     from jegal_tpu.serving import serve
 
     engine = _load_engine(args)
     combos = [c for c in args.warmup_combos.split(",") if c]
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        from jegal_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(len(jax.devices()), model_parallel=1)
     serve(engine, host=args.host, port=args.port, warmup_combos=combos,
-          batch_window_ms=args.batch_window_ms, max_batch=args.max_batch)
+          batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
+          mesh=mesh, max_body_bytes=args.max_body_mb * 1024 * 1024)
 
 
 def cmd_convert(args):

@@ -285,3 +285,32 @@ def process_video(video_file: str, preprocessed_root: str, fps: float = 25.0,
     with open(os.path.join(dest, "tracks.pkl"), "wb") as f:
         pickle.dump(vidtracks, f)
     return {"tracks": len(tracks), "dest": dest}
+
+
+def filter_copy(csv_path: str, initial_dir: str, final_dir: str) -> dict:
+    """Copy the crops a filtered dataset CSV selects into the final tree.
+
+    Replicates the rsync half of the reference's filter_and_merge
+    (dataset/preprocess_videos.py:534-548): for each `filename` row (a
+    relative path like `<video_id>/preprocessed/00000`), copy
+    `<initial_dir>/<filename>.avi` and `.wav` to the same relative path
+    under `final_dir` (parents created). Missing files are skipped and
+    counted, like the reference's non-fatal rsync failures.
+    """
+    import csv as _csv
+
+    stats = {"copied": 0, "missing": 0}
+    with open(csv_path, newline="") as f:
+        rows = list(_csv.DictReader(f))
+    for row in rows:
+        rel = row["filename"]
+        for ext in (".avi", ".wav"):
+            src = os.path.join(initial_dir, rel + ext)
+            if not os.path.exists(src):
+                stats["missing"] += 1
+                continue
+            dst = os.path.join(final_dir, rel + ext)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(src, dst)
+            stats["copied"] += 1
+    return stats

@@ -37,6 +37,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+from jegal_tpu.api import ClientError
+
 
 def encode_array(arr) -> str | None:
     if arr is None:
@@ -59,29 +61,67 @@ class _Batcher:
     cross-video batching). Per-sample semantics are identical to
     engine.extract (batch padding is exactly neutral, tested)."""
 
+    # generous: first-hit compiles on the axon runtime take 1-4 min; warmed
+    # graphs answer in ~100 ms
+    SUBMIT_TIMEOUT_S = 600.0
+
     def __init__(self, engine, window_ms: float, max_batch: int,
-                 lock: threading.Lock):
+                 lock: threading.Lock, mesh=None):
         self.engine = engine
         self.window = window_ms / 1000.0
         self.max_batch = max_batch
         self.lock = lock        # shared with the raw-frames tower path
+        self.mesh = mesh        # optional: data-parallel extract_many
         self.q: queue.Queue = queue.Queue()
+        self.dead: BaseException | None = None
+        self._inflight: list = []   # items dequeued but not yet answered
         threading.Thread(target=self._run, daemon=True).start()
 
     def submit(self, modalities: str, sample: dict):
         """Blocking; -> result dict | None (rejected) | raises the
-        batch's engine error."""
+        batch's engine error. Raises RuntimeError if the worker thread
+        died or the request timed out (a 500, never a silent hang)."""
+        if self.dead is not None:
+            raise RuntimeError(f"batcher worker died: {self.dead!r}")
         ev = threading.Event()
         slot: dict = {}
         self.q.put((modalities, sample, ev, slot))
-        ev.wait()
+        if not ev.wait(self.SUBMIT_TIMEOUT_S):
+            raise RuntimeError(
+                f"batcher timeout after {self.SUBMIT_TIMEOUT_S:.0f}s "
+                f"(worker {'dead: ' + repr(self.dead) if self.dead else 'busy'})")
         if "error" in slot:
             raise slot["error"]
         return slot["result"]
 
     def _run(self):
+        # the whole loop body is guarded: anything that escapes the
+        # per-batch handling below (including non-Exception BaseExceptions)
+        # marks the batcher dead and errors out every waiting request
+        # instead of leaving clients blocked forever
+        try:
+            self._run_loop()
+        except BaseException as e:  # noqa: BLE001 — deliberate backstop
+            self.dead = e
+            err = RuntimeError(f"batcher worker died: {e!r}")
+            # in-flight items were already dequeued — error them first,
+            # then drain whatever is still queued
+            for _, _, ev, slot in self._inflight:
+                if not ev.is_set():
+                    slot["error"] = err
+                    ev.set()
+            while True:
+                try:
+                    _, _, ev, slot = self.q.get_nowait()
+                except queue.Empty:
+                    break
+                slot["error"] = err
+                ev.set()
+
+    def _run_loop(self):
         while True:
             items = [self.q.get()]
+            self._inflight = items
             deadline = time.monotonic() + self.window
             while len(items) < self.max_batch:
                 left = deadline - time.monotonic()
@@ -99,7 +139,7 @@ class _Batcher:
                     with self.lock:  # one device: shared with /frames path
                         results = self.engine.extract_many(
                             [g[1] for g in group], modalities=mod,
-                            batch_size=self.max_batch)
+                            batch_size=self.max_batch, mesh=self.mesh)
                 except Exception:
                     # per-request isolation: one malformed batchmate must
                     # not fail the others — retry each sample alone and
@@ -118,7 +158,8 @@ class _Batcher:
                     ev.set()
 
 
-def _make_handler(engine, lock: threading.Lock, batcher: _Batcher | None):
+def _make_handler(engine, lock: threading.Lock, batcher: _Batcher | None,
+                  max_body_bytes: int):
     class Handler(BaseHTTPRequestHandler):
         server_version = "jegal_tpu"
 
@@ -136,16 +177,25 @@ def _make_handler(engine, lock: threading.Lock, batcher: _Batcher | None):
         def do_GET(self):
             if self.path != "/healthz":
                 return self._reply(404, {"error": "unknown path"})
-            self._reply(200, {
-                "ok": True,
+            payload = {
+                "ok": batcher is None or batcher.dead is None,
                 "graphs": len(engine.cached_graphs),
-            })
+            }
+            if batcher is not None:
+                payload["queue_depth"] = batcher.q.qsize()
+                if batcher.dead is not None:
+                    payload["error"] = f"batcher worker died: {batcher.dead!r}"
+            self._reply(200, payload)
 
         def do_POST(self):
             if self.path != "/extract":
                 return self._reply(404, {"error": "unknown path"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > max_body_bytes:
+                    return self._reply(413, {
+                        "error": f"request body {n} bytes exceeds the "
+                                 f"{max_body_bytes}-byte limit"})
                 req = json.loads(self.rfile.read(n))
             except (ValueError, json.JSONDecodeError) as e:
                 return self._reply(400, {"error": f"bad request: {e}"})
@@ -177,12 +227,14 @@ def _make_handler(engine, lock: threading.Lock, batcher: _Batcher | None):
                 else:
                     with lock:  # one device: serialize the forwards
                         out = engine.extract(modalities=modalities, **sample)
-            except ValueError as e:  # client data problem
+            except ClientError as e:  # engine-validated client data problem
                 return self._reply(400, {"error": str(e)})
             except Exception as e:
                 # server fault — including RuntimeError subclasses like
-                # jaxlib's XlaRuntimeError (device OOM / compile failure)
-                # and engine misconfiguration, which are NOT client errors
+                # jaxlib's XlaRuntimeError (device OOM / compile failure),
+                # engine misconfiguration, AND internal ValueErrors (shape
+                # bugs are not the client's fault — only the engine's
+                # explicit ClientError maps to 400)
                 return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
             if out is None:
                 return self._reply(422, {
@@ -197,22 +249,36 @@ def _make_handler(engine, lock: threading.Lock, batcher: _Batcher | None):
     return Handler
 
 
-def create_server(engine, host: str = "0.0.0.0", port: int = 8000,
+DEFAULT_MAX_BODY = 512 * 1024 * 1024  # raw-frames payloads are large
+                                      # (125 frames uint8 ~ 65 MB as b64)
+
+
+def create_server(engine, host: str = "127.0.0.1", port: int = 8000,
                   batch_window_ms: float = 0.0,
-                  max_batch: int = 8) -> ThreadingHTTPServer:
+                  max_batch: int = 8, mesh=None,
+                  max_body_bytes: int = DEFAULT_MAX_BODY
+                  ) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server; `.serve_forever()` runs it.
     Port 0 binds an ephemeral port (tests). batch_window_ms > 0 batches
-    concurrent requests into one device dispatch (_Batcher)."""
+    concurrent requests into one device dispatch (_Batcher). mesh: a
+    jax.sharding.Mesh with a 'data' axis — batched extracts shard over it
+    (data-parallel serving).
+
+    The endpoint has NO authentication and binds loopback by default;
+    exposing it beyond localhost requires a fronting proxy / auth layer
+    (pass host='0.0.0.0' explicitly, see docs/DEPLOYMENT.md). Bodies over
+    max_body_bytes are rejected with 413 before being read."""
     lock = threading.Lock()
-    batcher = (_Batcher(engine, batch_window_ms, max_batch, lock)
+    batcher = (_Batcher(engine, batch_window_ms, max_batch, lock, mesh=mesh)
                if batch_window_ms > 0 else None)
     return ThreadingHTTPServer(
-        (host, port), _make_handler(engine, lock, batcher))
+        (host, port), _make_handler(engine, lock, batcher, max_body_bytes))
 
 
-def serve(engine, host: str = "0.0.0.0", port: int = 8000,
+def serve(engine, host: str = "127.0.0.1", port: int = 8000,
           warmup_combos=(), batch_window_ms: float = 0.0,
-          max_batch: int = 8) -> None:
+          max_batch: int = 8, mesh=None,
+          max_body_bytes: int = DEFAULT_MAX_BODY) -> None:
     # warm the graphs the traffic will actually hit: the batcher dispatches
     # fixed max_batch batches via extract_many, not batch-1 forwards
     warm_batch = max_batch if batch_window_ms > 0 else 1
@@ -220,7 +286,8 @@ def serve(engine, host: str = "0.0.0.0", port: int = 8000,
         engine.warmup(modalities=combo, batch=warm_batch)
     server = create_server(engine, host, port,
                            batch_window_ms=batch_window_ms,
-                           max_batch=max_batch)
+                           max_batch=max_batch, mesh=mesh,
+                           max_body_bytes=max_body_bytes)
     print(json.dumps({"serving": f"http://{host}:{server.server_address[1]}",
                       "warmed": list(warmup_combos),
                       "batch_window_ms": batch_window_ms}))

@@ -123,7 +123,9 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2,
     --cosine_decay --accum_steps 4 run would end at ~0.85*peak LR instead
     of 0."""
     k = max(accum_steps, 1)
-    sched_warmup = warmup_steps // k
+    # ceil: warmup_steps < accum_steps must still produce >= 1 schedule
+    # warmup step, not silently start at full peak LR
+    sched_warmup = -(-warmup_steps // k) if warmup_steps > 0 else 0
     if total_steps is not None:
         sched_total = max(total_steps // k, sched_warmup + 1)
         if sched_warmup > 0:

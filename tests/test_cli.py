@@ -174,3 +174,24 @@ def test_reference_pth_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(params["transformer"]["layers"][3]["attn"]["q"]["kernel"]),
         np.asarray(again["transformer"]["layers"][3]["attn"]["q"]["kernel"]))
+
+
+def test_preprocess_filter_copy(tmp_path, capsys):
+    """--final_dir/--filter_csv replicate the reference filter_and_merge
+    rsync stage (preprocess_videos.py:534-548): CSV-selected .avi/.wav copy
+    into the final tree; missing files are counted, not fatal."""
+    initial = tmp_path / "initial"
+    (initial / "vid1" / "preprocessed").mkdir(parents=True)
+    (initial / "vid1" / "preprocessed" / "00000.avi").write_bytes(b"A")
+    (initial / "vid1" / "preprocessed" / "00000.wav").write_bytes(b"W")
+    csv_path = tmp_path / "filtered.csv"
+    csv_path.write_text(
+        "filename\nvid1/preprocessed/00000\nvid2/preprocessed/00001\n")
+    final = tmp_path / "final"
+
+    main(["preprocess", "--preprocessed_root", str(initial),
+          "--final_dir", str(final), "--filter_csv", str(csv_path)])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats == {"copied": 2, "missing": 2}
+    assert (final / "vid1" / "preprocessed" / "00000.avi").read_bytes() == b"A"
+    assert (final / "vid1" / "preprocessed" / "00000.wav").read_bytes() == b"W"

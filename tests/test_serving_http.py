@@ -192,3 +192,66 @@ def test_unknown_path_404(server_url):
         raise AssertionError("expected HTTP 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_oversized_body_is_413(server_url):
+    payload = {"modalities": "t", "text": "x"}
+    req = urllib.request.Request(
+        server_url + "/extract", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json",
+                 "Content-Length": str(10**12)})
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected HTTP 413")
+    except urllib.error.HTTPError as e:
+        assert e.code == 413
+        assert "limit" in json.loads(e.read())["error"]
+
+
+def test_batcher_worker_death_does_not_hang():
+    """ADVICE r2 / VERDICT r2 item 6: if the batcher worker dies (here: a
+    BaseException from the engine), waiting clients get an error instead of
+    blocking forever, /healthz reports it, and later submits fail fast."""
+    import threading as _t
+
+    from jegal_tpu.serving import _Batcher
+
+    class Boom(BaseException):
+        pass
+
+    class DyingEngine:
+        cached_graphs = []
+
+        def extract_many(self, *a, **kw):
+            raise Boom("chip on fire")
+
+        def extract(self, *a, **kw):
+            raise Boom("chip on fire")
+
+    b = _Batcher(DyingEngine(), window_ms=5, max_batch=4, lock=_t.Lock())
+    with pytest.raises(RuntimeError, match="died"):
+        b.submit("ta", {"text": "x"})
+    assert b.dead is not None
+    with pytest.raises(RuntimeError, match="died"):
+        b.submit("ta", {"text": "y"})  # fail-fast, no enqueue-and-hang
+
+
+def test_internal_value_error_is_500(server_url):
+    """Only the engine's explicit ClientError maps to 400; an internal
+    ValueError (server bug) must surface as 500."""
+    # a malformed b64 .npy decodes fine but trips numpy inside the engine:
+    # easier to exercise via a visual_feats of the wrong rank
+    bad_feats = encode_array(np.zeros((4, 4, 4, 4), np.float32))
+    try:
+        _post(server_url, {"modalities": "v", "visual_feats": bad_feats})
+        raise AssertionError("expected HTTP 500")
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
+
+
+def test_batch_ladder():
+    from jegal_tpu.api import _batch_ladder
+
+    assert [_batch_ladder(n, 8) for n in (1, 2, 3, 4, 5, 8, 9)] == [
+        1, 2, 4, 4, 8, 8, 8]
+    assert _batch_ladder(7, 4) == 4
