@@ -181,7 +181,7 @@ class JegalEngine:
         return np.asarray(feats[:t])
 
     def gestsync_features_from_raw_many(
-            self, clips: list, batch_size: int = 8) -> list:
+            self, clips: list, batch_size: int = 8, mesh=None) -> list:
         """Cross-video tower batching: clips is a list of
         (frames_u8 (T, 270, 480, 3), chin_rows (T,) | None) tuples; returns
         per-clip (T, 1024) features.
@@ -189,12 +189,20 @@ class JegalEngine:
         Same-T-bucket clips stack into ONE batched tower dispatch
         (models/gestsync.extract_features_batch) instead of one launch +
         host round-trip per video — the r1 driver's dominant per-clip
-        overhead for short clips (VERDICT r1 item 2 / weak 5)."""
+        overhead for short clips (VERDICT r1 item 2 / weak 5).
+
+        mesh: a jax.sharding.Mesh with a 'data' axis — the batch shards
+        over it via shard_map (clips are independent; params replicated),
+        giving the FLOPs-dominant tower a multi-chip path
+        (extract_features_batch_raw_sharded)."""
         from jegal_tpu.ops.video import FALLBACK_ROWS
 
         if self.gestsync_params is None:
             raise RuntimeError("engine has no GestSync parameters")
+        key = None if mesh is None else mesh
         if self._gestsync_batch_fn is None:
+            self._gestsync_batch_fn = {}
+        if key not in self._gestsync_batch_fn:
             use_pallas = jax.default_backend() == "tpu"
 
             def fn(params, frames, cut):
@@ -209,7 +217,15 @@ class JegalEngine:
                 return G.extract_features_batch(
                     params, masked.astype(self.dtype), chunk=160)
 
-            self._gestsync_batch_fn = jax.jit(fn)
+            if mesh is None:
+                self._gestsync_batch_fn[key] = jax.jit(fn)
+            else:
+                from jax.sharding import PartitionSpec as P
+
+                self._gestsync_batch_fn[key] = jax.jit(jax.shard_map(
+                    fn, mesh=mesh,
+                    in_specs=(P(), P("data"), P("data")),
+                    out_specs=P("data"), check_vma=False))
 
         # group by T bucket; pad B to the power-of-two ladder (one jit per
         # (bucket, pow2-B) — bounded compiles, bounded tail waste)
@@ -222,6 +238,9 @@ class JegalEngine:
             for lo in range(0, len(idxs), batch_size):
                 chunk_idx = idxs[lo : lo + batch_size]
                 bsz = _batch_ladder(len(chunk_idx), batch_size)
+                if mesh is not None:
+                    d = mesh.shape.get("data", 1)
+                    bsz = ((bsz + d - 1) // d) * d  # shardable over 'data'
                 fr = np.zeros((bsz, t_bucket, 270, 480, 3), np.uint8)
                 cut = np.full((bsz, t_bucket), FALLBACK_ROWS, np.int32)
                 for bi, ci in enumerate(chunk_idx):
@@ -233,8 +252,17 @@ class JegalEngine:
                         chin = np.asarray(chin, np.int32)
                         cut[bi, :t] = chin
                         cut[bi, t:] = chin[-1]
-                feats = self._gestsync_batch_fn(
-                    self.gestsync_params, jnp.asarray(fr), jnp.asarray(cut))
+                fr = jnp.asarray(fr)
+                cutj = jnp.asarray(cut)
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    spec = NamedSharding(mesh, PartitionSpec("data"))
+                    fr = jax.device_put(fr, spec)
+                    cutj = jax.device_put(cutj, spec)
+                feats = self._gestsync_batch_fn[
+                    None if mesh is None else mesh](
+                    self.gestsync_params, fr, cutj)
                 feats = np.asarray(feats)
                 for bi, ci in enumerate(chunk_idx):
                     results[ci] = feats[bi, : clips[ci][0].shape[0]]
@@ -473,7 +501,7 @@ class JegalEngine:
                 feats = self.gestsync_features_from_raw_many(
                     [(np.asarray(samples[i]["frames"], np.uint8),
                       samples[i].get("chin_rows")) for i in todo],
-                    batch_size=batch_size)
+                    batch_size=batch_size, mesh=mesh)
                 samples = list(samples)
                 for i, f in zip(todo, feats):
                     samples[i] = dict(samples[i], visual_feats=f)

@@ -82,6 +82,9 @@ def build_parser():
                    help="parallel C++ decode threads feeding the device "
                         "loop (decode is ~181 ms/clip on one core; the "
                         "ctypes call releases the GIL so threads scale)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard each tower batch over all devices ('data' "
+                        "mesh axis) — pair with --batch_size >= #devices")
     p.add_argument("--bf16", action="store_true")
 
     p = sub.add_parser("extract-embs",
@@ -467,6 +470,14 @@ def cmd_extract_feats(args):
         gestsync_params=C.load_gestsync(args.checkpoint_path),
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        import jax
+
+        from jegal_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = make_mesh(len(jax.devices()), model_parallel=1)
     os.makedirs(args.res_dir, exist_ok=True)
     stats = {"done": 0, "skipped": 0, "failed": 0}
 
@@ -532,7 +543,7 @@ def cmd_extract_feats(args):
         try:
             feats = engine.gestsync_features_from_raw_many(
                 [(fr, chin) for _, _, (fr, chin) in batch],
-                batch_size=args.batch_size)
+                batch_size=args.batch_size, mesh=mesh)
         except Exception:
             feats = []
             for f, _, (fr, chin) in batch:
