@@ -113,9 +113,15 @@ def build_parser():
     p = _add_common_eval(sub, "eval-spotting", "AVS-Spot word spotting")
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--frame_threshold", type=int, default=9)
+    p.add_argument("--on_device", action="store_true",
+                   help="attention/argmax math as one jit graph; with "
+                        "multiple devices the videos shard over 'data'")
 
     p = _add_common_eval(sub, "eval-asd", "AVS-Asd active speaker detection")
     p.add_argument("--file", type=str, required=True, help="AVS-Asd CSV")
+    p.add_argument("--on_device", action="store_true",
+                   help="candidate scoring as one jit graph; with multiple "
+                        "devices the queries shard over 'data'")
 
     p = sub.add_parser("heatmap", help="word-frame attention heatmap")
     p.add_argument("--path", required=True, help=".pkl embedding file")
@@ -612,18 +618,22 @@ def cmd_extract_embs(args):
     print(json.dumps(stats))
 
 
+def _eval_mesh():
+    """The data-parallel mesh for on-device evals (None on one device)."""
+    import jax
+
+    if len(jax.devices()) > 1:
+        from jegal_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(len(jax.devices()), model_parallel=1)
+    return None
+
+
 def cmd_eval_retrieval(args):
     from jegal_tpu.eval import retrieval
 
     if args.on_device:
-        import jax
-
-        mesh = None
-        if len(jax.devices()) > 1:
-            from jegal_tpu.parallel.mesh import make_mesh
-
-            mesh = make_mesh(len(jax.devices()), model_parallel=1)
-        res = retrieval.evaluate_device(args.path, mesh)
+        res = retrieval.evaluate_device(args.path, _eval_mesh())
     else:
         res = retrieval.evaluate(args.path)
     print(json.dumps(res, indent=2))
@@ -632,7 +642,12 @@ def cmd_eval_retrieval(args):
 def cmd_eval_spotting(args):
     from jegal_tpu.eval import spotting
 
-    res = spotting.evaluate(args.path, args.threshold, args.frame_threshold)
+    if args.on_device:
+        res = spotting.evaluate_device(args.path, args.threshold,
+                                       args.frame_threshold, _eval_mesh())
+    else:
+        res = spotting.evaluate(args.path, args.threshold,
+                                args.frame_threshold)
     print(json.dumps(res, indent=2))
 
 
@@ -641,7 +656,11 @@ def cmd_eval_asd(args):
 
     from jegal_tpu.eval import asd
 
-    res = asd.evaluate(args.path, pd.read_csv(args.file))
+    if args.on_device:
+        res = asd.evaluate_device(args.path, pd.read_csv(args.file),
+                                  _eval_mesh())
+    else:
+        res = asd.evaluate(args.path, pd.read_csv(args.file))
     print(json.dumps(res, indent=2))
 
 

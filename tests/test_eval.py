@@ -157,6 +157,100 @@ def test_asd_counts_follow_config(tmp_path, rng, monkeypatch):
     assert "acc_4spk" not in res
 
 
+@pytest.fixture
+def spot_dir(tmp_path, rng):
+    """500 synthetic spotting videos with ragged (T, W) and random target
+    words; ~half engineered to be hits."""
+    d = tmp_path / "spot"
+    d.mkdir()
+    for i in range(500):
+        t = int(rng.integers(20, 48))
+        w = int(rng.integers(2, 9))
+        dim = 64
+        content = rng.standard_normal((w, dim)).astype(np.float32)
+        gesture = 0.05 * rng.standard_normal((t, dim)).astype(np.float32)
+        wi = int(rng.integers(0, w))
+        span = sorted(rng.integers(0, t, size=2).tolist())
+        if i % 2 == 0:  # plant the peak inside the span -> likely hit
+            gesture[min(span[0], t - 1)] = content[wi] * 8
+        wbs = [[f"w{j}", j, j + 1] for j in range(w)]
+        wbs[wi] = [f"w{wi}", span[0], span[1]]
+        _write_pkl(d / f"v{i:03d}.pkl", gesture, content,
+                   {"word_boundaries": str(wbs),
+                    "target_word_boundary": str(wbs[wi])})
+    return str(d)
+
+
+def test_spotting_device_matches_numpy(spot_dir):
+    """On-device batched spotting == the per-video numpy path at the
+    500-video AVS-Spot scale (ragged T/W padded + masked)."""
+    host = spotting.evaluate(spot_dir)
+    dev = spotting.evaluate_device(spot_dir)
+    assert dev == host
+    assert 0 < host["correct"] < host["total"]  # both branches exercised
+
+
+def test_spotting_device_mesh_sharded(spot_dir):
+    """Videos sharded over the 8-device 'data' axis (500 -> 504 pad rows
+    carry 1 dummy frame/word) reproduce the host result exactly."""
+    import jax
+
+    from jegal_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(len(jax.devices()), model_parallel=1)
+    host = spotting.evaluate(spot_dir)
+    dev = spotting.evaluate_device(spot_dir, mesh=mesh)
+    assert dev == host
+
+
+@pytest.fixture
+def asd_set(tmp_path, rng):
+    """500 ASD queries over a 40-speaker pool with ragged negative lists
+    (some missing files, some shorter than the largest n_spk)."""
+    d = tmp_path / "asd500"
+    d.mkdir()
+    base = rng.standard_normal((40, 512)).astype(np.float32)
+    names = [f"s{i}/clip" for i in range(40)]
+    for i, n in enumerate(names):
+        noise = 0.8 * rng.standard_normal((512,)).astype(np.float32)
+        _write_pkl(d / (n.replace("/", "__") + ".pkl"),
+                   np.tile(base[i] + noise, (5, 1)),
+                   np.tile(base[i], (3, 1)), {})
+    rows = []
+    for i in range(500):
+        qi = int(rng.integers(0, 40))
+        negs = [names[j] for j in rng.permutation(40)[:int(rng.integers(1, 8))]
+                if j != qi]
+        if i % 7 == 0:  # a missing negative file must be skipped, not fatal
+            negs.append("missing/x")
+        rows.append({"filename": names[qi], "neg_files": str(negs)})
+    return str(d), pd.DataFrame(rows)
+
+
+def test_asd_device_matches_numpy(asd_set):
+    """On-device batched ASD == the per-query numpy path at the 500-query
+    scale (ragged candidate counts masked)."""
+    res_dir, df = asd_set
+    host = asd.evaluate(res_dir, df)
+    dev = asd.evaluate_device(res_dir, df)
+    assert dev["evaluated"] == host["evaluated"] == 500
+    for k in host:
+        assert dev[k] == pytest.approx(host[k]), k
+
+
+def test_asd_device_mesh_sharded(asd_set):
+    import jax
+
+    from jegal_tpu.parallel.mesh import make_mesh
+
+    res_dir, df = asd_set
+    mesh = make_mesh(len(jax.devices()), model_parallel=1)
+    host = asd.evaluate(res_dir, df)
+    dev = asd.evaluate_device(res_dir, df, mesh=mesh)
+    for k in host:
+        assert dev[k] == pytest.approx(host[k]), k
+
+
 def test_attention_matrix_shape_and_softmax(rng):
     g = rng.standard_normal((12, 32)).astype(np.float32)
     c = rng.standard_normal((4, 32)).astype(np.float32)
