@@ -73,8 +73,12 @@ def build_parser():
     p.add_argument("--video_dir", required=True)
     p.add_argument("--res_dir", required=True)
     p.add_argument("--checkpoint_path", required=True)
-    p.add_argument("--rank", type=int, default=0)
-    p.add_argument("--nshard", type=int, default=1)
+    p.add_argument("--rank", type=int, default=None,
+                   help="file-shard index (default: jax.process_index() "
+                        "under jax.distributed, else 0)")
+    p.add_argument("--nshard", type=int, default=None,
+                   help="file-shard count (default: jax.process_count() "
+                        "under jax.distributed, else 1)")
     p.add_argument("--batch_size", type=int, default=1,
                    help=">1 stacks same-length clips into one batched "
                         "GestSync tower dispatch")
@@ -98,8 +102,12 @@ def build_parser():
     p.add_argument("--feature_dir", required=True)
     p.add_argument("--modalities", default="vta",
                    choices=["vta", "vt", "va", "ta", "v", "t", "a"])
-    p.add_argument("--rank", type=int, default=0)
-    p.add_argument("--nshard", type=int, default=1)
+    p.add_argument("--rank", type=int, default=None,
+                   help="file-shard index (default: jax.process_index() "
+                        "under jax.distributed, else 0)")
+    p.add_argument("--nshard", type=int, default=None,
+                   help="file-shard count (default: jax.process_count() "
+                        "under jax.distributed, else 1)")
     p.add_argument("--batch_size", type=int, default=1,
                    help=">1 groups samples into device batches; with multiple "
                         "devices the batch shards over the 'data' mesh axis")
@@ -150,8 +158,12 @@ def build_parser():
                         "paths surviving filtering")
     p.add_argument("--fps", type=float, default=25.0)
     p.add_argument("--sample_rate", type=int, default=16000)
-    p.add_argument("--rank", type=int, default=0)
-    p.add_argument("--nshard", type=int, default=1)
+    p.add_argument("--rank", type=int, default=None,
+                   help="file-shard index (default: jax.process_index() "
+                        "under jax.distributed, else 0)")
+    p.add_argument("--nshard", type=int, default=None,
+                   help="file-shard count (default: jax.process_count() "
+                        "under jax.distributed, else 1)")
 
     p = sub.add_parser("download",
                        help="download dataset clips from a CSV (yt-dlp)")
@@ -164,8 +176,12 @@ def build_parser():
     p.add_argument("--file_path", required=True)
     p.add_argument("--video_dir", required=True)
     p.add_argument("--res_dir", required=True)
-    p.add_argument("--rank", type=int, default=0)
-    p.add_argument("--nshard", type=int, default=1)
+    p.add_argument("--rank", type=int, default=None,
+                   help="file-shard index (default: jax.process_index() "
+                        "under jax.distributed, else 0)")
+    p.add_argument("--nshard", type=int, default=None,
+                   help="file-shard count (default: jax.process_count() "
+                        "under jax.distributed, else 1)")
 
     p = sub.add_parser("verify",
                        help="one-command real-weight verification: convert, "
@@ -452,6 +468,23 @@ def _transcribe(audio_path, res_dir):
     return transcribe_to_file(audio_path, res_dir)
 
 
+def _resolve_shard(args):
+    """--rank/--nshard default to jax.process_index()/jax.process_count()
+    so that under jax.distributed (DEPLOYMENT.md multi-host recipe) each
+    host automatically takes its own file shard; standalone runs resolve
+    to 0/1. Explicit flags always win (the reference's manual --rank/
+    --nshard launch style, extract_kps.py:23-26, keeps working)."""
+    rank, nshard = args.rank, args.nshard
+    if rank is None or nshard is None:
+        import jax
+
+        if nshard is None:
+            nshard = jax.process_count()
+        if rank is None:
+            rank = jax.process_index()
+    return rank, nshard
+
+
 def cmd_extract_feats(args):
     """GestSync feature bank builder with host/device pipelining: a decode
     prefetch thread feeds a bounded queue while the chip runs the batched
@@ -468,9 +501,10 @@ def cmd_extract_feats(args):
     from jegal_tpu.api import JegalEngine
     import jax.numpy as jnp
 
+    rank, nshard = _resolve_shard(args)
     df = pd.read_csv(args.file_path)
     files = list(df["filename"])
-    files = files[args.rank::args.nshard] if args.nshard > 1 else files
+    files = files[rank::nshard] if nshard > 1 else files
     engine = JegalEngine(
         jegal_params=None,
         gestsync_params=C.load_gestsync(args.checkpoint_path),
@@ -597,6 +631,7 @@ def cmd_extract_embs(args):
 
     from jegal_tpu.data.datasets import extract_embeddings_csv
 
+    rank, nshard = _resolve_shard(args)
     engine = _load_engine(args)
     mesh = None
     if args.batch_size > 1 and len(jax.devices()) > 1:
@@ -610,8 +645,8 @@ def cmd_extract_embs(args):
         feature_dir=args.feature_dir,
         res_dir=os.path.join(args.res_dir, args.modalities),
         modalities=args.modalities,
-        rank=args.rank,
-        nshard=args.nshard,
+        rank=rank,
+        nshard=nshard,
         batch_size=args.batch_size,
         mesh=mesh,
     )
@@ -693,10 +728,11 @@ def cmd_preprocess(args):
     # CSV batch mode (reference dataset/preprocess_videos.py)
     import pandas as pd
 
+    rank, nshard = _resolve_shard(args)
     df = pd.read_csv(args.file_path)
     rows = [df.iloc[i] for i in range(len(df))]
-    if args.nshard > 1:
-        rows = rows[args.rank::args.nshard]
+    if nshard > 1:
+        rows = rows[rank::nshard]
     stats = {"done": 0, "failed": 0}
     for row in rows:
         vid = f"{row['video_id']}_{row['start_time']}_{row['end_time']}.mp4"
@@ -725,10 +761,11 @@ def cmd_extract_kps(args):
     from jegal_tpu.host import media
     from jegal_tpu.host.keypoints import extract_keypoints, save_keypoints
 
+    rank, nshard = _resolve_shard(args)
     df = pd.read_csv(args.file_path)
     files = list(df["filename"])
-    if args.nshard > 1:
-        files = files[args.rank::args.nshard]
+    if nshard > 1:
+        files = files[rank::nshard]
     os.makedirs(args.res_dir, exist_ok=True)
     stats = {"done": 0, "skipped": 0, "failed": 0}
     for f in files:
