@@ -8,12 +8,16 @@ a FULL-WIDTH text branch (12-layer, 250k-vocab XLM-R as in
 models/jegal.py:13-14 of the reference; random weights — real checkpoints
 are external to this image), bf16 compute.
 
-vs_baseline: the same pipeline (XLA stem fallback) on the host CPU backend,
-T=25 scaled by 5 (conv FLOPs are linear in T; underestimates CPU time, so
-the reported speedup is conservative). The reference publishes no
-throughput numbers (BASELINE.md); the driver north star is >=10x CPU.
+vs_baseline: the same pipeline measured DIRECTLY at T=125 fp32 on the host
+CPU backend (no extrapolation). The reference publishes no throughput
+numbers (BASELINE.md); the driver north star is >=10x CPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Also recorded in the same line: batched (8-clip) graph throughput, the
+contrastive train-step rate (b=8, T=125, full-width models), and the
+extract-feats DRIVER throughput over real .avi files at batch 1 and 8
+(benchmarks/driver_bench.py — decode + queueing + .npy writes included).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -132,6 +136,34 @@ def build_batched(dtype, t_frames: int, batch: int, rng):
     return jax.jit(pipeline), args
 
 
+def bench_train_step(dtype, rng, batch_size: int, t_frames: int,
+                     iters: int = 6):
+    """Contrastive train-step throughput on the chip: full-width JEGAL +
+    12L/250k XLM-R, batch `batch_size` x T=`t_frames` vta samples,
+    warmup-free steps/sec (the state is donated; the batch is reused)."""
+    from jegal_tpu.training import trainer
+    import __graft_entry__ as E
+
+    jparams, rparams, cfg = E._models(
+        jax.random.PRNGKey(3), roberta_layers=XLMR_LAYERS, vocab=XLMR_VOCAB,
+        max_pos=160)
+    batch = E._example_batch(rng, b=batch_size, t=t_frames, s=32, w=16,
+                             mel=4 * t_frames, vocab=XLMR_VOCAB)
+    batch["word_mask"] = jnp.ones((batch_size, 16), jnp.float32)
+    optimizer = trainer.make_optimizer()
+    state = trainer.init_state(jparams, optimizer)
+    step = trainer.make_train_step(optimizer, cfg)
+    key = jax.random.PRNGKey(4)
+
+    state, loss = step(state, batch, key, rparams)   # compile
+    np.asarray(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, batch, key, rparams)
+    np.asarray(loss)
+    return iters / (time.perf_counter() - t0)
+
+
 def main():
     from jegal_tpu.cli.main import setup_compilation_cache
 
@@ -152,12 +184,28 @@ def main():
     sec_batch = timed(fn_b, args_b, max(2, iters // 2), device=accel)
     batch_vps = bsz / sec_batch
 
-    # --- CPU baseline (same pipeline, XLA stem, T=25, scaled by 5) ---
+    # --- training throughput (VERDICT r2 item 5) ---
+    train_sps = bench_train_step(jnp.bfloat16, rng, batch_size=8,
+                                 t_frames=t_video)
+
+    # --- driver-level throughput: real .avi decode -> batched tower -> .npy
+    # through the actual extract-feats code path (VERDICT r2 item 5) ---
+    import contextlib
+    import sys
+
+    import benchmarks.driver_bench as DB
+
+    with contextlib.redirect_stdout(sys.stderr):  # keep ONE line on stdout
+        driver_rows = DB.main(12)
+    driver = {f"driver_bs{r['batch_size']}_videos_per_sec": r["value"]
+              for r in driver_rows}
+
+    # --- CPU baseline: the SAME T=125 pipeline measured directly on the
+    # host CPU backend (one full run; the r2 extrapolation from T=25 is
+    # gone — VERDICT r2 weak 4) ---
     cpu = jax.devices("cpu")[0]
-    t_small = 25
-    fn_c, args_c = build(jnp.float32, t_small, rng, use_pallas=False)
-    sec_small = timed(fn_c, args_c, 1, device=cpu)
-    cpu_sec_per_video = sec_small * (t_video / t_small)
+    fn_c, args_c = build(jnp.float32, t_video, rng, use_pallas=False)
+    cpu_sec_per_video = timed(fn_c, args_c, 1, device=cpu, reps=1)
     cpu_vps = 1.0 / cpu_sec_per_video
 
     print(json.dumps({
@@ -169,6 +217,12 @@ def main():
         "vs_baseline": round(vps / cpu_vps, 2),
         "batch8_videos_per_sec": round(batch_vps, 3),
         "single_clip_latency_ms": round(sec_per_video * 1e3, 2),
+        "train_steps_per_sec_b8_t125": round(train_sps, 3),
+        "train_samples_per_sec": round(train_sps * 8, 2),
+        "cpu_baseline_videos_per_sec": round(cpu_vps, 4),
+        "cpu_baseline_note": "measured directly at T=125 fp32 on the host "
+                             "CPU backend (no extrapolation)",
+        **driver,
     }))
 
 

@@ -211,19 +211,32 @@ def _make_stem_chunk_fn(params, w_pool: int, w_valid: int,
     via the Pallas stem -> m-grid layer-2 conv -> blocks 3-6. The SINGLE
     definition of the Pallas tower body, shared by the per-video and both
     batched paths so they cannot silently diverge."""
+    from jegal_tpu.ops.pallas import conv2 as C2K
     from jegal_tpu.ops.pallas.stem import (
         mgrid_conv2, stem_kernel_params, stem_mgrid_x)
 
     lhs, scale, bias = stem_kernel_params(params["net_vid"][0])
     blk2 = params["net_vid"][1]
 
-    def fn(piece):
-        m = stem_mgrid_x(piece, lhs, scale, bias, w_valid=w_valid,
-                         interpret=interpret)
+    def conv2_xla(m):
         y = mgrid_conv2(m, blk2["conv"]["kernel"][0], w_pool)
         if blk2["conv"].get("bias") is not None:
             y = y + blk2["conv"]["bias"]
-        y = jax.nn.relu(batch_norm_inference(blk2["bn"], y))
+        return jax.nn.relu(batch_norm_inference(blk2["bn"], y))
+
+    use_fused = C2K.enabled() and w_pool >= 5
+    if use_fused:
+        c2 = C2K.conv2_kernel_params(blk2)
+
+    def fn(piece):
+        m = stem_mgrid_x(piece, lhs, scale, bias, w_valid=w_valid,
+                         interpret=interpret)
+        if use_fused and C2K.conv2_ok(w_pool, m.shape[1]):
+            # fused lane-compaction conv2 kernel (ops/pallas/conv2): the
+            # XLA dilated conv below is the fallback and parity oracle
+            y = C2K.mgrid_conv2_fused(m, *c2, w_pool, interpret=interpret)
+        else:
+            y = conv2_xla(m)
         h = y[None]  # (1, chunk, H2, W2, C2) NDHWC
         for spec, blk in zip(VGG_SPEC[2:], params["net_vid"][2:]):
             h = _conv_block(blk, spec, h)
