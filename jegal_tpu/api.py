@@ -260,8 +260,7 @@ class JegalEngine:
                     spec = NamedSharding(mesh, PartitionSpec("data"))
                     fr = jax.device_put(fr, spec)
                     cutj = jax.device_put(cutj, spec)
-                feats = self._gestsync_batch_fn[
-                    None if mesh is None else mesh](
+                feats = self._gestsync_batch_fn[key](
                     self.gestsync_params, fr, cutj)
                 feats = np.asarray(feats)
                 for bi, ci in enumerate(chunk_idx):

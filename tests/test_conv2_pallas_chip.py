@@ -56,7 +56,12 @@ def test_full_size_parity(blk2, dtype, tol):
         return jax.nn.relu(batch_norm_inference(blk2["bn"], y))
 
     ops = C2K.conv2_kernel_params(blk2)
-    a = np.asarray(jax.jit(xla_path)(m), np.float32)
+    # apples-to-apples: the kernel's dots run at Precision.DEFAULT (Mosaic
+    # rejects the multi-pass f32 emulation HIGHEST would request — same as
+    # the stem kernel), so the XLA oracle must run at DEFAULT too; the
+    # conftest pins HIGHEST globally for the torch-parity suites.
+    with jax.default_matmul_precision("default"):
+        a = np.asarray(jax.jit(xla_path)(m), np.float32)
     b = np.asarray(jax.jit(
         lambda mm: C2K.mgrid_conv2_fused(mm, *ops, w_pool))(m), np.float32)
     assert a.shape == b.shape == (t, 20, 37, 128)
