@@ -210,10 +210,18 @@ def _make_stem_chunk_fn(params, w_pool: int, w_valid: int,
     """-> fn: one (chunk+4)-frame s2d-lanes piece -> (chunk, 512) tokens
     via the Pallas stem -> m-grid layer-2 conv -> blocks 3-6. The SINGLE
     definition of the Pallas tower body, shared by the per-video and both
-    batched paths so they cannot silently diverge."""
+    batched paths so they cannot silently diverge.
+
+    Block-2 impl order (first whose geometry gate passes):
+      1. `mgrid_conv2_dense` — compaction matmul + s2d(2) dense conv, the
+         measured-fastest form on chip and pure XLA (default),
+      2. the fused Pallas lane-compaction kernel (when `conv2.set_impl`
+         selects it),
+      3. the dilated `mgrid_conv2` — fallback and parity oracle.
+    """
     from jegal_tpu.ops.pallas import conv2 as C2K
     from jegal_tpu.ops.pallas.stem import (
-        mgrid_conv2, stem_kernel_params, stem_mgrid_x)
+        mgrid_conv2, mgrid_conv2_dense, stem_kernel_params, stem_mgrid_x)
 
     lhs, scale, bias = stem_kernel_params(params["net_vid"][0])
     blk2 = params["net_vid"][1]
@@ -224,16 +232,17 @@ def _make_stem_chunk_fn(params, w_pool: int, w_valid: int,
             y = y + blk2["conv"]["bias"]
         return jax.nn.relu(batch_norm_inference(blk2["bn"], y))
 
-    use_fused = C2K.enabled() and w_pool >= 5
-    if use_fused:
+    use_kernel = C2K.impl() == "kernel" and w_pool >= 5
+    if use_kernel:
         c2 = C2K.conv2_kernel_params(blk2)
+    use_dense = C2K.impl() == "dense" and w_pool >= 5
 
     def fn(piece):
         m = stem_mgrid_x(piece, lhs, scale, bias, w_valid=w_valid,
                          interpret=interpret)
-        if use_fused and C2K.conv2_ok(w_pool, m.shape[1]):
-            # fused lane-compaction conv2 kernel (ops/pallas/conv2): the
-            # XLA dilated conv below is the fallback and parity oracle
+        if use_dense and C2K.conv2_ok(w_pool, m.shape[1]):
+            y = mgrid_conv2_dense(m, blk2, w_pool)
+        elif use_kernel and C2K.conv2_ok(w_pool, m.shape[1]):
             y = C2K.mgrid_conv2_fused(m, *c2, w_pool, interpret=interpret)
         else:
             y = conv2_xla(m)

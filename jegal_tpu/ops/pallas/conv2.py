@@ -51,19 +51,26 @@ KH = 5             # conv2 h taps
 KW = 5             # conv2 w taps (stride 2 in pooled w)
 K2 = KH * C1       # conv contraction: 5 kh x 64 c
 
-# dispatch switch, same convention as fused_layer: "auto" (kernel on the
-# Pallas tower path) or "off" (mgrid_conv2 XLA path; used to pin parity)
-_IMPL = "auto"
+# dispatch switch, same convention as fused_layer: which block-2 conv
+# formulation the shared tower body uses (models/gestsync.py
+# _make_stem_chunk_fn):
+#   "dense"  - compaction-matmul + s2d(2) dense conv (stem.mgrid_conv2_dense);
+#              pure XLA and the measured-fastest form on chip -> default,
+#   "kernel" - the fused Pallas lane-compaction kernel below,
+#   "off"    - dilated mgrid_conv2; parity oracle.
+_IMPL = "dense"
 
 
 def set_impl(impl: str):
     global _IMPL
-    assert impl in ("auto", "off"), impl
+    if impl == "auto":        # legacy alias for the pre-dense default
+        impl = "kernel"
+    assert impl in ("dense", "kernel", "off"), impl
     _IMPL = impl
 
 
-def enabled() -> bool:
-    return _IMPL == "auto"
+def impl() -> str:
+    return _IMPL
 
 
 def _conv2_kernel(m_ref, s_ref, lhs_e_ref, lhs_o_ref, scale_ref, bias_ref,

@@ -17,8 +17,9 @@ Decomposition (after space-to-depth with block 3, so all strides are 1):
     partial products are combined post-matmul with lane rolls,
   * the kt (5) and kh (3) taps + 32 channels form a dense K=480 contraction,
   * per output frame t, the rhs window lives at rows [96*t, 96*t+480) of the
-    DMA'd (tau, h, c) block — 8 frames are packed into one (480, 8*256)
-    matmul (the 256-lane slots keep every copy 128-aligned),
+    DMA'd (tau, h, c) block — T_BLK frames are packed tight into one
+    (480, T_BLK*w_v) matmul (16 frames measured faster than 8: half the
+    dots and half the per-block DMA halo for the same copy traffic),
   * BN is folded into a per-channel scale/bias, ReLU applied in-register,
   * the 3x3/2 max-pool's h-window is the grid: cell (tb, j) computes conv
     rows 2j+1, 2j+2 and carries row 2j from cell (tb, j-1) — no recompute;
@@ -47,7 +48,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-T_BLK = 8          # output frames per matmul (N = T_BLK * SLOT lanes)
+T_BLK = 16         # output frames per matmul (N = T_BLK * w_v lanes)
 SLOT = 256         # lanes per frame slot (w 0..159 valid, 128-aligned)
 C_PAD = 32         # s2d channels 27 padded to one bf16 sublane tile
 M_DW = 192         # lhs rows: 3 dw taps x 64 output channels
@@ -251,6 +252,55 @@ def mgrid_conv2(m, kernel, w_pool):
         m[:, :, :, :lanes], kernel, window_strides=(2, 4),
         padding=[(0, 0), (0, 0)], rhs_dilation=(1, 2),
         dimension_numbers=("NHCW", "HWIO", "NHWC"))
+
+
+def _compaction_matrix(w_pool: int, slot: int) -> np.ndarray:
+    """(slot, w_pool) 0/1: column w' selects m-grid lane 2*w' — the
+    stride-2 pooled-lane decimation as an MXU matmul (selection of bf16
+    values through an f32-accumulating dot is exact; lane gathers are not
+    vectorizable on TPU, selection matmuls are)."""
+    s = np.zeros((slot, w_pool), np.float32)
+    for wp in range(w_pool):
+        s[2 * wp, wp] = 1.0
+    return s
+
+
+def mgrid_conv2_dense(m, blk2, w_pool: int):
+    """VGG block-2 conv+bias+BN+ReLU from the m-grid via densification.
+
+    Measured-fastest block-2 formulation on chip (see ARCHITECTURE.md perf
+    ledger): (1) compact the m-grid's dilated pooled lanes to a dense
+    (T, J, w_pool, 64) NHWC tensor with ONE selection matmul, then (2) run
+    the stride-2 conv as a space-to-depth block-2 stride-1 conv (K=3*3*256
+    dense contraction — the stem's own trick, models/gestsync.py:110-140).
+    Pure XLA, so it is also the default on CPU/GPU; `mgrid_conv2` (dilated)
+    stays the parity oracle. Reference semantics: conv2 k(1,5,5) s(1,2,2)
+    p0 + bn2 + relu (reference models/gestsync.py:47-53).
+    """
+    from jegal_tpu.core.layers import batch_norm_inference
+    from jegal_tpu.models.gestsync import _s2d_kernel, _space_to_depth
+
+    t, n_j, c1, slot = m.shape
+    kernel = blk2["conv"]["kernel"][0]              # (5, 5, 64, C2)
+    kh, kw = kernel.shape[:2]
+    # slice to the lanes actually read BEFORE the selection dot: m-grid
+    # lanes >= w_valid hold uninitialized VMEM garbage, and 0 * NaN = NaN
+    # would poison the matmul accumulation (the dilated oracle slices too)
+    lanes = 2 * (w_pool - 1) + 1
+    s_cmp = jnp.asarray(_compaction_matrix(w_pool, lanes)).astype(m.dtype)
+    d = jax.lax.dot_general(m[..., :lanes], s_cmp, (((3,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    x = d.astype(m.dtype).transpose(0, 1, 3, 2)     # (T, J, w_pool, 64)
+    xs = _space_to_depth(x[:, None], 2)             # (T, 1, Jc, Wc, 4*64)
+    ks = _s2d_kernel(kernel[None], 2)[0]            # (3, 3, 4*64, C2)
+    y = jax.lax.conv_general_dilated(
+        xs.reshape(xs.shape[0], *xs.shape[2:]), ks,
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y[:, : (n_j - kh) // 2 + 1, : (w_pool - kw) // 2 + 1]
+    if blk2["conv"].get("bias") is not None:
+        y = y + blk2["conv"]["bias"]
+    return jax.nn.relu(batch_norm_inference(blk2["bn"], y.astype(m.dtype)))
 
 
 def fused_stem_pool(frames, lhs, scale, bias, interpret: bool = False):

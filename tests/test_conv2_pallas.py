@@ -95,23 +95,28 @@ def test_fused_conv2_bf16(blk2, rng):
     np.testing.assert_allclose(ref, out, atol=0.5, rtol=0.05)
 
 
-def test_chunk_fn_uses_fused_conv2(rng):
-    """The shared tower body routes layer 2 through the fused kernel (and
-    its output equals the XLA conv2 route) — guards the dispatch wiring."""
+def test_chunk_fn_conv2_impls_agree(rng):
+    """The shared tower body routes layer 2 per conv2.set_impl, and all
+    three formulations (dense / Pallas kernel / dilated oracle) agree —
+    guards the dispatch wiring and the dense-path numerics."""
     from jegal_tpu.models import gestsync as G
 
+    assert C2K.impl() == "dense"      # package default
     params = G.init_params(jax.random.PRNGKey(0))
     frames = jnp.asarray(rng.random((13, 270, 480, 3)), jnp.float32)
     x = S.s2d_lanes(frames)
     w_pool = (480 // 3 - 5) // 2 + 1
-    fn = G._make_stem_chunk_fn(params, w_pool, w_valid=160, interpret=True)
-    fused = np.asarray(fn(x), np.float32)
-    C2K.set_impl("off")
+    outs = {}
     try:
-        fn_xla = G._make_stem_chunk_fn(params, w_pool, w_valid=160,
+        for impl in ("dense", "kernel", "off"):
+            C2K.set_impl(impl)
+            fn = G._make_stem_chunk_fn(params, w_pool, w_valid=160,
                                        interpret=True)
-        plain = np.asarray(fn_xla(x), np.float32)
+            outs[impl] = np.asarray(fn(x), np.float32)
     finally:
-        C2K.set_impl("auto")
-    assert fused.shape == plain.shape == (9, 512)
-    np.testing.assert_allclose(fused, plain, atol=2e-3, rtol=2e-3)
+        C2K.set_impl("dense")
+    assert outs["dense"].shape == outs["off"].shape == (9, 512)
+    np.testing.assert_allclose(outs["dense"], outs["off"],
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(outs["kernel"], outs["off"],
+                               atol=2e-3, rtol=2e-3)

@@ -72,7 +72,13 @@ def test_stem_chunking_is_neutral(params, rng):
 
     one = np.asarray(mgrid_chunked(x, 24), np.float32)
     three = np.asarray(mgrid_chunked(x, 8), np.float32)
-    np.testing.assert_array_equal(one, three)
+    # compare the m-grid's readable lanes only: the kernel's cross-frame
+    # lane rolls contaminate conv lanes >= w_v-2 (hence pooled lanes
+    # >= w_v-4) with the frame's T_BLK-block neighbor, which legitimately
+    # depends on the chunking; consumers never read past lane 2*(w_pool-1)
+    # <= w_v-5 (see _stem_kernel roll comment / mgrid_conv2).
+    w_v = 160  # stem_mgrid_x default used above
+    np.testing.assert_array_equal(one[..., :w_v - 4], three[..., :w_v - 4])
 
 
 def test_conv_tokens_pallas_shape_with_tail_chunk(params):
