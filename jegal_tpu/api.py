@@ -108,6 +108,7 @@ class JegalEngine:
         self._gestsync_fn = None
         self._gestsync_raw_fn = None
         self._gestsync_batch_fn = None
+        self._gestsync_planar_fn = None
         self._graph_ledger: dict = {}          # (combo, shape sig) -> seq no
         self._graph_seq = 0
 
@@ -129,6 +130,18 @@ class JegalEngine:
             )
         feats = self._gestsync_fn(self.gestsync_params, jnp.asarray(frames, self.dtype))
         return np.asarray(feats[:t])
+
+    def gestsync_features(self, frames_u8: np.ndarray,
+                          chin_rows: np.ndarray | None = None) -> np.ndarray:
+        """Shape-dispatching front door for the single-clip tower: raw
+        decoder frames (T, 270, 480, 3) -> gestsync_features_from_raw
+        (mask+repack on device); host-repacked planar (T, 90, 27, 160)
+        (host.media.s2d_repack output, already masked; chin_rows must be
+        None) -> gestsync_features_from_planar. Identical results."""
+        if frames_u8.shape[1:] == (90, 27, 160):
+            assert chin_rows is None, "planar input is already masked"
+            return self.gestsync_features_from_planar(frames_u8)
+        return self.gestsync_features_from_raw(frames_u8, chin_rows)
 
     def gestsync_features_from_raw(self, frames_u8: np.ndarray,
                                    chin_rows: np.ndarray | None = None
@@ -180,11 +193,46 @@ class JegalEngine:
                 self.gestsync_params, jnp.asarray(frames_u8))
         return np.asarray(feats[:t])
 
+    def gestsync_features_from_planar(self, planar_u8: np.ndarray
+                                      ) -> np.ndarray:
+        """Fastest single-clip path: host-repacked s2d planar input
+        (T, 90, 27, 160) uint8 (host.media.s2d_repack — repacked AND
+        face-masked in C++ on the decode thread) -> (T, 1024). The device
+        graph keeps only convert+pad before the stem kernel; bit-identical
+        to gestsync_features_from_raw on the same frames (tested)."""
+        if self.gestsync_params is None:
+            raise RuntimeError("engine has no GestSync parameters")
+        t = planar_u8.shape[0]
+        assert planar_u8.shape[1:] == (90, 27, 160), planar_u8.shape
+        t_bucket = next_bucket(t, T_BUCKETS)
+        if t_bucket != t:
+            planar_u8 = np.concatenate(
+                [planar_u8,
+                 np.repeat(planar_u8[-1:], t_bucket - t, axis=0)], axis=0)
+        if self._gestsync_planar_fn is None:
+            interpret = jax.default_backend() != "tpu"
+
+            def fn(params, planar):
+                from jegal_tpu.ops.video import s2d_from_planar
+
+                x = s2d_from_planar(planar, dtype=self.dtype)
+                return G.extract_features_x(params, x, chunk=160,
+                                            interpret=interpret)
+
+            self._gestsync_planar_fn = jax.jit(fn)
+        feats = self._gestsync_planar_fn(self.gestsync_params,
+                                         jnp.asarray(planar_u8))
+        return np.asarray(feats[:t])
+
     def gestsync_features_from_raw_many(
             self, clips: list, batch_size: int = 8, mesh=None) -> list:
         """Cross-video tower batching: clips is a list of
-        (frames_u8 (T, 270, 480, 3), chin_rows (T,) | None) tuples; returns
-        per-clip (T, 1024) features.
+        (frames_u8 (T, 270, 480, 3), chin_rows (T,) | None) tuples — or of
+        (planar_u8 (T, 90, 27, 160), None) tuples when the caller repacked
+        (and masked) on the host with host.media.s2d_repack (the
+        extract-feats driver does; ~2 ms/clip less device work). A call
+        must be homogeneous (all raw or all planar). Returns per-clip
+        (T, 1024) features.
 
         Same-T-bucket clips stack into ONE batched tower dispatch
         (models/gestsync.extract_features_batch) instead of one launch +
@@ -199,13 +247,20 @@ class JegalEngine:
 
         if self.gestsync_params is None:
             raise RuntimeError("engine has no GestSync parameters")
-        key = None if mesh is None else mesh
+        is_planar = bool(clips) and clips[0][0].shape[1:] == (90, 27, 160)
+        key = (None if mesh is None else mesh, is_planar)
         if self._gestsync_batch_fn is None:
             self._gestsync_batch_fn = {}
         if key not in self._gestsync_batch_fn:
             use_pallas = jax.default_backend() == "tpu"
 
             def fn(params, frames, cut):
+                if is_planar:
+                    # host-repacked+masked input: convert+pad only on device
+                    # (cut unused — the C++ repack already masked)
+                    return G.extract_features_batch_planar(
+                        params, frames, chunk=160, dtype=self.dtype,
+                        interpret=not use_pallas)
                 if use_pallas:
                     # mask + s2d fused into the chunk loop (no full repacked
                     # intermediate in HBM)
@@ -241,7 +296,8 @@ class JegalEngine:
                 if mesh is not None:
                     d = mesh.shape.get("data", 1)
                     bsz = ((bsz + d - 1) // d) * d  # shardable over 'data'
-                fr = np.zeros((bsz, t_bucket, 270, 480, 3), np.uint8)
+                shape = (90, 27, 160) if is_planar else (270, 480, 3)
+                fr = np.zeros((bsz, t_bucket) + shape, np.uint8)
                 cut = np.full((bsz, t_bucket), FALLBACK_ROWS, np.int32)
                 for bi, ci in enumerate(chunk_idx):
                     frames, chin = clips[ci]

@@ -414,13 +414,20 @@ def _try_keypoints(frames):
         return None
 
 
-def _decode_for_features(video_path):
+def _decode_for_features(video_path, planar: bool = True):
     """Host-side half of the feature path: decode -> (keypoints) -> chin
-    lines. Runs on a prefetch thread in the batch driver (no device work).
+    lines -> C++ s2d repack+mask. Runs on a prefetch thread in the batch
+    driver (no device work).
 
-    -> (frames_u8 (T, 270, 480, 3), chin_rows | None), or None when the
-    gesture-visibility gate rejects the video
+    planar=True (default): -> (planar_u8 (T, 90, 27, 160), None) in the
+    stem kernel's layout, repacked AND face-masked in C++
+    (host.media.s2d_repack) so the device graph keeps zero layout work.
+    planar=False: -> (frames_u8 (T, 270, 480, 3), chin_rows | None) for
+    the on-device mask+repack path (bit-identical results — tested).
+    Returns None when the gesture-visibility gate rejects the video
     (reference inference_embs.py:195-233)."""
+    import numpy as np
+
     from jegal_tpu.host import masking, media
 
     keypoints = None
@@ -441,7 +448,13 @@ def _decode_for_features(video_path):
 
     frames, _ = media.decode_video(video_path, target_w=480, target_h=270,
                                    target_fps=0.0)
-    return frames, chin_rows
+    if not planar:
+        return frames, chin_rows
+    from jegal_tpu.ops.video import FALLBACK_ROWS
+
+    cuts = (np.asarray(chin_rows, np.int32) if chin_rows is not None
+            else np.full((frames.shape[0],), FALLBACK_ROWS, np.int32))
+    return media.s2d_repack(frames, cuts), None
 
 
 def _video_features(engine, video_path):
@@ -456,10 +469,10 @@ def _video_features(engine, video_path):
         print("The gestures in the input video are not visible! "
               "Please give a video with visible gestures as input.")
         sys.exit(0)
-    frames, chin_rows = decoded
-    print(f"Input video frames (decoder-resized): {frames.shape}")
+    frames, chin = decoded
+    print(f"Input video frames (decoder-repacked s2d): {frames.shape}")
     print("Extracting GestSync features...")
-    return engine.gestsync_features_from_raw(frames, chin_rows)
+    return engine.gestsync_features(frames, chin)
 
 
 def _transcribe(audio_path, res_dir):
@@ -588,7 +601,7 @@ def cmd_extract_feats(args):
             feats = []
             for f, _, (fr, chin) in batch:
                 try:
-                    feats.append(engine.gestsync_features_from_raw(fr, chin))
+                    feats.append(engine.gestsync_features(fr, chin))
                 except Exception as e:
                     feats.append(None)
                     stats["failed"] += 1

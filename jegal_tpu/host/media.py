@@ -72,6 +72,11 @@ def _get_lib():
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_double,
                 ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int]
+            lib.jegal_s2d_repack.restype = ctypes.c_int
+            lib.jegal_s2d_repack.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8)]
             _lib = lib
     return _lib
 
@@ -106,6 +111,34 @@ def decode_audio(path: str, sample_rate: int = 16000) -> np.ndarray:
         return arr.astype(np.float32)
     finally:
         lib.jegal_free_audio(ptr)
+
+
+def s2d_repack(frames: np.ndarray, cut_rows: np.ndarray | None = None
+               ) -> np.ndarray:
+    """Host-side space-to-depth repack (+ face mask) into the stem kernel's
+    channel layout: (T, H, W, 3) uint8 -> (T, H/3, 27, W/3) uint8 with
+    c = (dh*3+dw)*3+ch, masked raw rows h < cut_rows[t] zeroed (reference
+    mask semantics, inference_embs.py:262-286). Same permutation as the
+    on-device ops.video.mask_s2d_core, done in C++ on the decode thread so
+    the device graph starts at the stem kernel with zero layout work.
+    ctypes releases the GIL for the native call."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    t, h, w, c = frames.shape
+    assert c == 3 and h % 3 == 0 and w % 3 == 0, frames.shape
+    out = np.empty((t, h // 3, 27, w // 3), np.uint8)
+    cuts = None
+    if cut_rows is not None:
+        cuts = np.ascontiguousarray(cut_rows, dtype=np.int32)
+        assert cuts.shape == (t,), cuts.shape
+    lib = _get_lib()
+    rc = lib.jegal_s2d_repack(
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), t, h, w,
+        cuts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        if cuts is not None else None,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        raise ValueError(f"s2d repack failed ({rc}): shape {frames.shape}")
+    return out
 
 
 def encode_video(path: str, frames: np.ndarray, fps: float = 25.0) -> None:

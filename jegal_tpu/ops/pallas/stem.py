@@ -48,7 +48,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-T_BLK = 16         # output frames per matmul (N = T_BLK * w_v lanes)
+T_BLK = 16         # output frames per matmul (N = T_BLK * w_v lanes);
+#                    halved for 4-byte dtypes (f32 doubles every scratch
+#                    buffer and 16-frame packing overruns the ~18 MB scoped
+#                    VMEM stack limit — see stem_mgrid_x)
 SLOT = 256         # lanes per frame slot (w 0..159 valid, 128-aligned)
 C_PAD = 32         # s2d channels 27 padded to one bf16 sublane tile
 M_DW = 192         # lhs rows: 3 dw taps x 64 output channels
@@ -57,7 +60,7 @@ K_DIM = 480        # contraction: 5 kt x 3 kh x 32 c
 
 def _stem_kernel(x_ref, lhs_ref, scale_ref, bias_ref, o_ref,
                  a0_ref, rhs_ref, rows_ref, sem_ref, *, n_tb, n_j, h_rows,
-                 w_v):
+                 w_v, t_blk):
     """Grid (n_tb, n_j), j innermost (sequential; rows_ref[0] carries
     conv row 2j across j cells of the same tb block).
 
@@ -71,11 +74,11 @@ def _stem_kernel(x_ref, lhs_ref, scale_ref, bias_ref, o_ref,
     j = pl.program_id(1)
     k = tb * n_j + j
     n_cells = n_tb * n_j
-    nlanes = T_BLK * w_v
+    nlanes = t_blk * w_v
 
     def dma(slot, tb_, j_):
         return pltpu.make_async_copy(
-            x_ref.at[pl.ds(tb_ * T_BLK, T_BLK + 4), pl.ds(2 * j_, 5)],
+            x_ref.at[pl.ds(tb_ * t_blk, t_blk + 4), pl.ds(2 * j_, 5)],
             a0_ref.at[slot],
             sem_ref.at[slot],
         )
@@ -95,8 +98,8 @@ def _stem_kernel(x_ref, lhs_ref, scale_ref, bias_ref, o_ref,
     slot = k % 2
 
     def compute_row(r):
-        """Conv row h = 2j + r for all T_BLK frames -> rows_ref[r]."""
-        for u in range(T_BLK):
+        """Conv row h = 2j + r for all t_blk frames -> rows_ref[r]."""
+        for u in range(t_blk):
             v = a0_ref[slot, u:u + 5, r:r + 3, :, :w_v]    # (5, 3, 32, w_v)
             rhs_ref[:, w_v * u:w_v * (u + 1)] = v.reshape(K_DIM, w_v)
         d = jax.lax.dot_general(
@@ -137,7 +140,7 @@ def _stem_kernel(x_ref, lhs_ref, scale_ref, bias_ref, o_ref,
         pltpu.roll(m, shift=nlanes - 1, axis=1),
         pltpu.roll(m, shift=nlanes - 2, axis=1)))
     m = m.astype(o_ref.dtype)
-    for u in range(T_BLK):
+    for u in range(t_blk):
         o_ref[u, 0, :, :w_v] = m[:, w_v * u:w_v * (u + 1)]
     rows_ref[0] = rows_ref[2]  # carry conv row 2j+2 = 2(j+1) to cell j+1
 
@@ -206,14 +209,18 @@ def stem_mgrid_x(x, lhs, scale, bias, w_valid: int = 160,
     kh = 3                                  # block-space kernel extent
     h_rows = h_in - kh + 1                  # conv output rows
     n_j = (h_rows - 3) // 2 + 1             # pooled h rows
-    n_tb = -(-t_out // T_BLK)
-    t4_pad = n_tb * T_BLK + 4
+    # 4-byte dtypes double every VMEM scratch buffer; halve the frame
+    # packing so the kernel stays inside the ~18 MB scoped VMEM stack
+    # (observed: f32 @ t_blk=16 needs 18.75 MB and fails to compile)
+    t_blk = T_BLK if jnp.dtype(x.dtype).itemsize <= 2 else T_BLK // 2
+    n_tb = -(-t_out // t_blk)
+    t4_pad = n_tb * t_blk + 4
 
     x = jnp.pad(x, ((0, t4_pad - x.shape[0]), (0, 0), (0, 0), (0, 0)))
 
     out = pl.pallas_call(
         functools.partial(_stem_kernel, n_tb=n_tb, n_j=n_j, h_rows=h_rows,
-                          w_v=w_valid),
+                          w_v=w_valid, t_blk=t_blk),
         grid=(n_tb, n_j),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -221,15 +228,15 @@ def stem_mgrid_x(x, lhs, scale, bias, w_valid: int = 160,
             pl.BlockSpec((64, 1), lambda tb, j: (0, 0)),
             pl.BlockSpec((64, 1), lambda tb, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((T_BLK, 1, 64, SLOT),
+        out_specs=pl.BlockSpec((t_blk, 1, 64, SLOT),
                                lambda tb, j: (tb, j, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_tb * T_BLK, n_j, 64, SLOT),
+        out_shape=jax.ShapeDtypeStruct((n_tb * t_blk, n_j, 64, SLOT),
                                        x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, T_BLK + 4, 5, C_PAD, SLOT), x.dtype),
-            pltpu.VMEM((K_DIM, T_BLK * w_valid), x.dtype),
+            pltpu.VMEM((2, t_blk + 4, 5, C_PAD, SLOT), x.dtype),
+            pltpu.VMEM((K_DIM, t_blk * w_valid), x.dtype),
             # f32: Mosaic's lane rotate (the w-pool shifts) is 32-bit only
-            pltpu.VMEM((3, 64, T_BLK * w_valid), jnp.float32),
+            pltpu.VMEM((3, 64, t_blk * w_valid), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

@@ -86,6 +86,26 @@ def mask_s2d_core(frames_u8, y2=None, dtype=jnp.bfloat16):
     return jnp.pad(y, ((0, 0), (0, 0), (0, 5), (0, 256 - w // 3)))
 
 
+def s2d_from_planar(planar_u8, dtype=jnp.bfloat16, edge_pad: bool = True):
+    """Stem-kernel input from the native decoder's s2d layout.
+
+    planar_u8: (T, H/3, 27, W/3) uint8 as emitted by host.media.s2d_repack
+    (C++ jegal_s2d_repack) — already repacked AND face-masked on the host.
+    -> (T + 24, H/3, 32, 256) `dtype`, bit-identical to
+    mask_frames_s2d(frames_u8, y2, dtype): only convert + pad remain on
+    device (pure elementwise; no transpose), which is what makes the
+    host-repack path ~2 ms/clip faster than the raw-frames path.
+    """
+    t, h3, c27, w3 = planar_u8.shape
+    assert c27 == 27, planar_u8.shape
+    x = (planar_u8.astype(jnp.float32) / 255.0).astype(dtype)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 5), (0, 256 - w3)))
+    if edge_pad:
+        x = jnp.pad(x, ((EDGE_PAD, EDGE_PAD), (0, 0), (0, 0), (0, 0)),
+                    "edge")
+    return x
+
+
 def mask_frames_s2d(frames_u8, y2=None, dtype=jnp.bfloat16):
     """Fused mask + space-to-depth repack for the Pallas stem kernel.
 

@@ -31,6 +31,7 @@ import base64
 import io
 import json
 import queue
+import subprocess
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -211,9 +212,23 @@ def _make_handler(engine, lock: threading.Lock, batcher: _Batcher | None,
             modalities = req.get("modalities", "vta")
             try:
                 if visual_feats is None and frames is not None:
+                    # repack+mask into the stem layout in C++ on THIS
+                    # request thread (outside the device lock; the
+                    # fallback cut matches from_raw(chin=None) semantics —
+                    # bit-identical, tested), then run the lighter planar
+                    # device graph under the lock
+                    frames = np.asarray(frames, np.uint8)
+                    try:
+                        from jegal_tpu.host import media
+                        from jegal_tpu.ops.video import FALLBACK_ROWS
+
+                        frames = media.s2d_repack(
+                            frames, np.full((frames.shape[0],),
+                                            FALLBACK_ROWS, np.int32))
+                    except (OSError, subprocess.CalledProcessError):
+                        pass  # no native lib: raw-frames device path below
                     with lock:
-                        visual_feats = engine.gestsync_features_from_raw(
-                            np.asarray(frames, np.uint8))
+                        visual_feats = engine.gestsync_features(frames)
                 sample = dict(
                     visual_feats=visual_feats,
                     text=req.get("text"),

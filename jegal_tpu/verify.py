@@ -121,7 +121,7 @@ def run_verification(engine, samples_dir: str, res_dir: str,
                     "error": "gesture-visibility gate rejected the video"}
                 verdict["ok"] = False
                 continue
-            visual_feats = engine.gestsync_features_from_raw(*decoded)
+            visual_feats = engine.gestsync_features(*decoded)
         for combo in combos:
             out = engine.extract(
                 modalities=combo,

@@ -140,3 +140,43 @@ def test_extract_many_raw_frames_mesh(engine, rng):
     for a, b in zip(plain, meshed):
         np.testing.assert_allclose(b["gesture_emb"], a["gesture_emb"],
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_planar_tower_paths_equal_raw(rng):
+    """The host-repacked planar input paths (engine.gestsync_features_from_
+    planar / extract_features_batch_planar, incl. the mesh-sharded variant)
+    must match the raw-frames paths clip by clip — the C++ repack moves the
+    mask+s2d permutation to the decode threads without changing numerics."""
+    from jegal_tpu.host import media
+    from jegal_tpu.models import gestsync as G
+    from jegal_tpu.parallel.mesh import make_mesh
+
+    eng = JegalEngine(jegal_params=J.init_params(jax.random.PRNGKey(0)),
+                      gestsync_params=G.init_params(jax.random.PRNGKey(1)))
+    clips_raw, clips_pl = [], []
+    for i in range(3):
+        t = 6 + 2 * i
+        fr = rng.integers(0, 255, (t, 270, 480, 3)).astype(np.uint8)
+        chin = rng.integers(60, 200, (t,)).astype(np.int32)
+        clips_raw.append((fr, chin))
+        clips_pl.append((media.s2d_repack(fr, chin), None))
+
+    raw = eng.gestsync_features_from_raw_many(clips_raw, batch_size=4)
+    pl = eng.gestsync_features_from_raw_many(clips_pl, batch_size=4)
+    for a, b in zip(raw, pl):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)
+
+    # single-clip dispatcher: planar vs raw
+    fr, chin = clips_raw[0]
+    a = eng.gestsync_features(fr, chin)
+    b = eng.gestsync_features(media.s2d_repack(fr, chin))
+    np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-5)
+
+    if len(jax.devices()) >= 8:
+        mesh = make_mesh(8, model_parallel=1)
+        plm = eng.gestsync_features_from_raw_many(clips_pl, batch_size=8,
+                                                  mesh=mesh)
+        for a, b in zip(raw, plm):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-5, atol=2e-5)

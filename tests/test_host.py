@@ -241,3 +241,33 @@ def test_device_masking_matches_host(rng):
         assert (core[i, :c] == 0).all()
         if c < 270:
             assert core[i, c:].max() > 0
+
+
+def test_native_s2d_repack_bit_exact(rng):
+    """C++ jegal_s2d_repack (decode-thread repack + face mask) must be
+    BIT-identical to the on-device mask+s2d path (ops/video.mask_s2d_core)
+    — it is the host half of the stem kernel's input contract."""
+    import jax.numpy as jnp
+
+    from jegal_tpu.host import media
+    from jegal_tpu.ops.video import mask_s2d_core, s2d_from_planar
+
+    t = 6
+    frames = (rng.random((t, 270, 480, 3)) * 255).astype(np.uint8)
+    cuts = np.array([0, 50, 111, 269, 270, 135], np.int32)
+
+    planar = media.s2d_repack(frames, cuts)
+    assert planar.shape == (t, 90, 27, 160)
+    ref = np.asarray(mask_s2d_core(jnp.asarray(frames), jnp.asarray(cuts),
+                                   dtype=jnp.float32))
+    got = np.asarray(s2d_from_planar(jnp.asarray(planar), dtype=jnp.float32,
+                                     edge_pad=False))
+    assert np.array_equal(ref, got)
+
+    # no-mask call == cut rows 0 (repack only)
+    planar_nc = media.s2d_repack(frames, None)
+    ref_nc = np.asarray(mask_s2d_core(
+        jnp.asarray(frames), jnp.zeros((t,), jnp.int32), dtype=jnp.float32))
+    got_nc = np.asarray(s2d_from_planar(
+        jnp.asarray(planar_nc), dtype=jnp.float32, edge_pad=False))
+    assert np.array_equal(ref_nc, got_nc)

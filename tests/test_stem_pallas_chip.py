@@ -70,3 +70,29 @@ def test_batch_raw_equals_per_video_bf16():
     for b in range(2):
         ref = np.asarray(single(frames[b], cut[b]), np.float32)
         np.testing.assert_allclose(batched[b], ref, atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="needs a TPU backend")
+def test_f32_stem_compiles_and_matches_planar():
+    """f32 engines on chip: t_blk is halved for 4-byte dtypes so the stem
+    kernel stays inside the scoped VMEM stack (t_blk=16 @ f32 needs
+    18.75 MB > the ~18 MB limit and fails to compile — regression). Also
+    pins the host-repacked planar input path == raw path at f32."""
+    from jegal_tpu.host import media
+    from jegal_tpu.ops.video import mask_frames_s2d, s2d_from_planar
+
+    rng = np.random.default_rng(2)
+    params = G.init_params(jax.random.PRNGKey(2))
+    frames = rng.integers(0, 255, (20, 270, 480, 3)).astype(np.uint8)
+    cut = rng.integers(90, 140, (20,)).astype(np.int32)
+
+    raw = np.asarray(jax.jit(lambda f, c: G.extract_features_x(
+        params, mask_frames_s2d(f, c, dtype=jnp.float32), chunk=160)
+    )(jnp.asarray(frames), jnp.asarray(cut)))
+    assert raw.shape == (20, 1024) and np.isfinite(raw).all()
+
+    planar = jnp.asarray(media.s2d_repack(frames, cut))
+    pl_out = np.asarray(jax.jit(lambda p: G.extract_features_x(
+        params, s2d_from_planar(p, dtype=jnp.float32), chunk=160))(planar))
+    np.testing.assert_allclose(pl_out, raw, rtol=2e-5, atol=2e-5)
