@@ -37,8 +37,7 @@ XLMR_VOCAB = 250002   # full xlm-roberta-base vocab
 def build(dtype, t_frames: int, rng, use_pallas: bool, planar: bool = False):
     from jegal_tpu.models import gestsync as G
     from jegal_tpu.models import jegal as J
-    from jegal_tpu.ops.video import (
-        mask_frames_device, mask_frames_s2d, s2d_from_planar)
+    from jegal_tpu.ops.video import mask_frames_device, mask_frames_s2d
     import __graft_entry__ as E
 
     key = jax.random.PRNGKey(0)
@@ -69,8 +68,8 @@ def build(dtype, t_frames: int, rng, use_pallas: bool, planar: bool = False):
     def pipeline(gp, jp, rp, frames_u8, chin, input_ids, text_mask,
                  text_pool, audio_mel, audio_pool):
         if planar:
-            x = s2d_from_planar(frames_u8, dtype=dtype)
-            feats = G.extract_features_x(gp, x, chunk=160)
+            feats = G.extract_features_planar(gp, frames_u8, chunk=160,
+                                              dtype=dtype)
         elif use_pallas:
             x = mask_frames_s2d(frames_u8, chin, dtype=dtype)
             feats = G.extract_features_x(gp, x, chunk=160)

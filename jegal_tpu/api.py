@@ -197,9 +197,12 @@ class JegalEngine:
                                       ) -> np.ndarray:
         """Fastest single-clip path: host-repacked s2d planar input
         (T, 90, 27, 160) uint8 (host.media.s2d_repack — repacked AND
-        face-masked in C++ on the decode thread) -> (T, 1024). The device
-        graph keeps only convert+pad before the stem kernel; bit-identical
-        to gestsync_features_from_raw on the same frames (tested)."""
+        face-masked in C++ on the decode thread) -> (T, 1024). The Pallas
+        stem consumes the uint8 bytes directly (DMA + in-VMEM cast, /255
+        folded into the conv weights — ops/pallas/stem.stem_mgrid_planar),
+        so the device graph has zero pre-stem convert/layout work;
+        numerically equivalent to gestsync_features_from_raw on the same
+        frames (only the /255 bf16 rounding site differs — tested)."""
         if self.gestsync_params is None:
             raise RuntimeError("engine has no GestSync parameters")
         t = planar_u8.shape[0]
@@ -213,11 +216,9 @@ class JegalEngine:
             interpret = jax.default_backend() != "tpu"
 
             def fn(params, planar):
-                from jegal_tpu.ops.video import s2d_from_planar
-
-                x = s2d_from_planar(planar, dtype=self.dtype)
-                return G.extract_features_x(params, x, chunk=160,
-                                            interpret=interpret)
+                return G.extract_features_planar(params, planar, chunk=160,
+                                                 dtype=self.dtype,
+                                                 interpret=interpret)
 
             self._gestsync_planar_fn = jax.jit(fn)
         feats = self._gestsync_planar_fn(self.gestsync_params,
@@ -256,8 +257,8 @@ class JegalEngine:
 
             def fn(params, frames, cut):
                 if is_planar:
-                    # host-repacked+masked input: convert+pad only on device
-                    # (cut unused — the C++ repack already masked)
+                    # host-repacked+masked input: the stem kernel consumes
+                    # the uint8 bytes directly (cut unused — already masked)
                     return G.extract_features_batch_planar(
                         params, frames, chunk=160, dtype=self.dtype,
                         interpret=not use_pallas)

@@ -206,11 +206,18 @@ def conv_tokens(params, frames, chunk: int = 160,
 
 
 def _make_stem_chunk_fn(params, w_pool: int, w_valid: int,
-                        interpret: bool = False):
+                        interpret: bool = False, planar_u8: bool = False,
+                        dtype=jnp.bfloat16):
     """-> fn: one (chunk+4)-frame s2d-lanes piece -> (chunk, 512) tokens
     via the Pallas stem -> m-grid layer-2 conv -> blocks 3-6. The SINGLE
     definition of the Pallas tower body, shared by the per-video and both
     batched paths so they cannot silently diverge.
+
+    planar_u8: the piece is HOST-repacked (chunk+4, H3, 27, w_valid) uint8
+    (host.media.s2d_repack) and the stem runs `stem_mgrid_planar` — uint8
+    DMA'd straight into the kernel, cast in VMEM, /255 folded into the conv
+    weights (measured 1.5 ms/chunk faster than any materialized
+    convert+repack on chip).
 
     Block-2 impl order (first whose geometry gate passes):
       1. `mgrid_conv2_dense` — compaction matmul + s2d(2) dense conv, the
@@ -221,7 +228,8 @@ def _make_stem_chunk_fn(params, w_pool: int, w_valid: int,
     """
     from jegal_tpu.ops.pallas import conv2 as C2K
     from jegal_tpu.ops.pallas.stem import (
-        mgrid_conv2, mgrid_conv2_dense, stem_kernel_params, stem_mgrid_x)
+        mgrid_conv2, mgrid_conv2_dense, stem_kernel_params, stem_mgrid_x,
+        stem_mgrid_planar)
 
     lhs, scale, bias = stem_kernel_params(params["net_vid"][0])
     blk2 = params["net_vid"][1]
@@ -238,8 +246,12 @@ def _make_stem_chunk_fn(params, w_pool: int, w_valid: int,
     use_dense = C2K.impl() == "dense" and w_pool >= 5
 
     def fn(piece):
-        m = stem_mgrid_x(piece, lhs, scale, bias, w_valid=w_valid,
-                         interpret=interpret)
+        if planar_u8:
+            m = stem_mgrid_planar(piece, lhs, scale, bias, dtype=dtype,
+                                  interpret=interpret)
+        else:
+            m = stem_mgrid_x(piece, lhs, scale, bias, w_valid=w_valid,
+                             interpret=interpret)
         if use_dense and C2K.conv2_ok(w_pool, m.shape[1]):
             y = mgrid_conv2_dense(m, blk2, w_pool)
         elif use_kernel and C2K.conv2_ok(w_pool, m.shape[1]):
@@ -383,6 +395,35 @@ def extract_features_x(params, x, w_pool: int = 78, chunk: int = 160,
     return window_head(params, tokens, batch=batch)
 
 
+def extract_features_planar(params, planar_u8, w_pool: int = 78,
+                            chunk: int = 160, window_batch: int = 512,
+                            dtype=jnp.bfloat16, interpret: bool = False):
+    """extract_features over HOST-repacked uint8 planar input: planar_u8
+    (T, H3, 27, W3) uint8 (host.media.s2d_repack — face-masked, NOT
+    edge-padded) -> (T, 1024). The +/-12 edge pad happens here in uint8
+    (cheap) and the Pallas stem consumes the bytes directly
+    (stem_mgrid_planar) — the single-clip production path of the
+    extract-feats driver."""
+    x = jnp.pad(planar_u8, ((EDGE_PAD, EDGE_PAD),) + ((0, 0),) * 3, "edge")
+    t_pad = x.shape[0]
+    t_out = t_pad - 4
+    chunk = min(chunk, t_out)
+    num_chunks = -(-t_out // chunk)
+    pad_to = num_chunks * chunk + 4
+    x = jnp.pad(x, ((0, pad_to - t_pad),) + ((0, 0),) * 3)
+    chunk_fn = _make_stem_chunk_fn(params, w_pool, w_valid=x.shape[3],
+                                   interpret=interpret, planar_u8=True,
+                                   dtype=dtype)
+    toks = jax.lax.map(
+        lambda s: chunk_fn(jax.lax.dynamic_slice_in_dim(x, s, chunk + 4,
+                                                        axis=0)),
+        jnp.arange(num_chunks) * chunk)
+    tokens = toks.reshape(-1, D_MODEL)[:t_out]
+    t = tokens.shape[0] - (TOKENS - 1)
+    batch = window_batch if t > window_batch else None
+    return window_head(params, tokens, batch=batch)
+
+
 def conv_tokens_batch(params, frames, chunk: int = 160,
                       use_pallas: bool | None = None, w_pool: int = 78,
                       w_valid: int = 160, interpret: bool = False):
@@ -488,12 +529,12 @@ def extract_features_batch_planar(params, planar_u8, chunk: int = 160,
     (B, T, 90, 27, 160) uint8 (host.media.s2d_repack output — already
     face-masked, NOT edge-padded) -> (B, T, 1024).
 
-    Numerically identical to extract_features_batch_raw on the same clips
-    (the C++ repack is the same permutation+mask, bit-exact — tested); the
-    device graph keeps only convert+pad per chunk, no transpose, which is
-    what the ~2 ms/clip on-device repack cost buys down to."""
-    from jegal_tpu.ops.video import s2d_from_planar
-
+    Numerically equivalent to extract_features_batch_raw on the same clips
+    (the C++ repack is the same permutation+mask, bit-exact — tested; the
+    stem consumes the uint8 bytes directly with /255 folded into the conv
+    weights, so only that one bf16 rounding site differs). The device
+    graph has ZERO pre-stem layout/convert work — the Pallas stem DMAs the
+    padded uint8 planar itself (ops/pallas/stem.stem_mgrid_planar)."""
     b, t = planar_u8.shape[:2]
     planar_u8 = jnp.pad(
         planar_u8, ((0, 0), (EDGE_PAD, EDGE_PAD), (0, 0), (0, 0), (0, 0)),
@@ -508,14 +549,15 @@ def extract_features_batch_planar(params, planar_u8, chunk: int = 160,
 
     chunk_fn = _make_stem_chunk_fn(params, w_pool,
                                    w_valid=planar_u8.shape[4],
-                                   interpret=interpret)
+                                   interpret=interpret, planar_u8=True,
+                                   dtype=dtype)
 
     def one(i):
         vi = i // num_chunks
         start = (i % num_chunks) * chunk
         piece = jax.lax.dynamic_slice_in_dim(
             planar_u8[vi], start, chunk + 4, axis=0)
-        return chunk_fn(s2d_from_planar(piece, dtype=dtype, edge_pad=False))
+        return chunk_fn(piece)
 
     toks = jax.lax.map(one, jnp.arange(b * num_chunks))
     return _batch_tokens_to_feats(params, toks, b, t, t_out, chunk,

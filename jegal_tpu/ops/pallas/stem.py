@@ -59,8 +59,7 @@ K_DIM = 480        # contraction: 5 kt x 3 kh x 32 c
 
 
 def _stem_kernel(x_ref, lhs_ref, scale_ref, bias_ref, o_ref,
-                 a0_ref, rhs_ref, rows_ref, sem_ref, *, n_tb, n_j, h_rows,
-                 w_v, t_blk):
+                 *scratch, n_tb, n_j, h_rows, w_v, t_blk, u8_in=False):
     """Grid (n_tb, n_j), j innermost (sequential; rows_ref[0] carries
     conv row 2j across j cells of the same tb block).
 
@@ -69,7 +68,17 @@ def _stem_kernel(x_ref, lhs_ref, scale_ref, bias_ref, o_ref,
     the 256-lane slots of the r1 kernel wasted 37.5% of every matmul on
     pad lanes; the unaligned (w_v-offset) vector copies this needs are
     cheap next to the 1.6x dot shrink (measured 6.1 -> 4.5 ms/clip).
+
+    u8_in: x is host-repacked uint8 planar (T4, H3, 32, w_v) — the block
+    is DMA'd as raw bytes and cast to the compute dtype ONCE per cell in
+    VMEM (ab_ref); the /255 scale is folded into lhs by the caller. This
+    removes the whole XLA convert+pad stage (and its (T4, H3, 32, 256)
+    compute-dtype HBM round trip) from the planar production path.
     """
+    if u8_in:
+        a0_ref, ab_ref, rhs_ref, rows_ref, sem_ref = scratch
+    else:
+        a0_ref, rhs_ref, rows_ref, sem_ref = scratch
     tb = pl.program_id(0)
     j = pl.program_id(1)
     k = tb * n_j + j
@@ -96,11 +105,18 @@ def _stem_kernel(x_ref, lhs_ref, scale_ref, bias_ref, o_ref,
 
     dma(k % 2, tb, j).wait()
     slot = k % 2
+    if u8_in:
+        # Mosaic has no unsigned->float cast; u8 -> i32 -> compute dtype
+        # (values 0..255 are exact through every step)
+        ab_ref[...] = a0_ref[slot].astype(jnp.int32).astype(ab_ref.dtype)
 
     def compute_row(r):
         """Conv row h = 2j + r for all t_blk frames -> rows_ref[r]."""
         for u in range(t_blk):
-            v = a0_ref[slot, u:u + 5, r:r + 3, :, :w_v]    # (5, 3, 32, w_v)
+            if u8_in:
+                v = ab_ref[u:u + 5, r:r + 3, :, :w_v]      # (5, 3, 32, w_v)
+            else:
+                v = a0_ref[slot, u:u + 5, r:r + 3, :, :w_v]
             rhs_ref[:, w_v * u:w_v * (u + 1)] = v.reshape(K_DIM, w_v)
         d = jax.lax.dot_general(
             lhs_ref[...], rhs_ref[...], (((1,), (0,)), ((), ())),
@@ -241,6 +257,62 @@ def stem_mgrid_x(x, lhs, scale, bias, w_valid: int = 160,
         ],
         interpret=interpret,
     )(x, lhs.astype(x.dtype), scale, bias)
+    return out[:t_out]
+
+
+def stem_mgrid_planar(xp, lhs, scale, bias, dtype=jnp.bfloat16,
+                      interpret: bool = False):
+    """m-grid from HOST-repacked uint8 planar input — the production entry.
+
+    xp: (T4, H3, 27, w_v) uint8 as emitted by host.media.s2d_repack
+    (C++ jegal_s2d_repack: s2d block 3, face-masked, raw 0..255 bytes).
+    One XLA pad op brings the bytes to the kernel's (C_PAD, SLOT) geometry
+    (Mosaic DMA requires 128-aligned lane extents, so the compact 160-lane
+    form cannot be DMA'd directly); the kernel then DMAs uint8, casts to
+    `dtype` ONCE per cell in VMEM, and the /255 normalization is folded
+    into lhs (the conv is linear: conv(x/255, W) = conv(x, W/255)). The
+    old pre-stem XLA stage materialized the full (T4, H3, 32, SLOT)
+    compute-dtype tensor (~219 MB/clip written + re-read); this path
+    round-trips the same geometry in uint8 (2x less traffic) and spends no
+    VPU work on convert outside the kernel. -> (t_out, J, 64, SLOT).
+    """
+    assert xp.dtype == jnp.uint8 and xp.shape[2] <= C_PAD, xp.shape
+    t_out = xp.shape[0] - 4
+    h_in = xp.shape[1]
+    w_v = xp.shape[3]
+    h_rows = h_in - 3 + 1
+    n_j = (h_rows - 3) // 2 + 1
+    t_blk = T_BLK if jnp.dtype(dtype).itemsize <= 2 else T_BLK // 2
+    n_tb = -(-t_out // t_blk)
+    t4_pad = n_tb * t_blk + 4
+
+    xp = jnp.pad(xp, ((0, t4_pad - xp.shape[0]), (0, 0),
+                      (0, C_PAD - xp.shape[2]), (0, SLOT - w_v)))
+    lhs = (lhs.astype(jnp.float32) / 255.0).astype(dtype)
+
+    out = pl.pallas_call(
+        functools.partial(_stem_kernel, n_tb=n_tb, n_j=n_j, h_rows=h_rows,
+                          w_v=w_v, t_blk=t_blk, u8_in=True),
+        grid=(n_tb, n_j),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((M_DW, K_DIM), lambda tb, j: (0, 0)),
+            pl.BlockSpec((64, 1), lambda tb, j: (0, 0)),
+            pl.BlockSpec((64, 1), lambda tb, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((t_blk, 1, 64, SLOT),
+                               lambda tb, j: (tb, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_tb * t_blk, n_j, 64, SLOT),
+                                       dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, t_blk + 4, 5, C_PAD, SLOT), jnp.uint8),
+            pltpu.VMEM((t_blk + 4, 5, C_PAD, SLOT), dtype),
+            pltpu.VMEM((K_DIM, t_blk * w_v), dtype),
+            pltpu.VMEM((3, 64, t_blk * w_v), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, lhs, scale, bias)
     return out[:t_out]
 
 

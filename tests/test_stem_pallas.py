@@ -124,3 +124,53 @@ def test_mgrid_conv2_matches_decimated_conv(params, rng):
         padding=[(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC")), np.float32)
     np.testing.assert_allclose(via_plain, via_mgrid, atol=1e-5, rtol=1e-5)
+
+
+def test_stem_mgrid_planar_u8_matches_bf16_path(params, rng):
+    """The uint8-ingesting stem (stem_mgrid_planar: bytes DMA'd into the
+    kernel, cast in VMEM, /255 folded into lhs) must match the bf16
+    s2d-lanes stem (stem_mgrid_x) on the same masked frames — only the
+    /255 rounding site differs, so f32 compute pins them to ~1e-6."""
+    from jegal_tpu.host import media
+    from jegal_tpu.ops.video import mask_s2d_core
+
+    blk = params["net_vid"][0]
+    lhs, scale, bias = S.stem_kernel_params(blk)
+    t4 = 13  # t_out=9 > t_blk=8 (f32) -> exercises the t-pad path too
+    frames = rng.integers(0, 255, (t4, 270, 480, 3)).astype(np.uint8)
+    cut = rng.integers(90, 140, (t4,)).astype(np.int32)
+
+    x = mask_s2d_core(jnp.asarray(frames), jnp.asarray(cut),
+                      dtype=jnp.float32)
+    ref = np.asarray(S.stem_mgrid_x(x, lhs, scale, bias, w_valid=160,
+                                    interpret=True))
+    planar = jnp.asarray(media.s2d_repack(frames, cut))
+    out = np.asarray(S.stem_mgrid_planar(planar, lhs, scale, bias,
+                                         dtype=jnp.float32, interpret=True))
+    assert out.shape == ref.shape
+    # compare valid m-grid lanes only (even lanes < 2*w_pool; rest is
+    # uninitialized-by-contract)
+    w_pool = (160 - 5) // 2 + 1
+    np.testing.assert_allclose(out[..., 0:2 * w_pool:2],
+                               ref[..., 0:2 * w_pool:2],
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_extract_features_planar_matches_raw(params, rng):
+    """End-to-end single-clip planar path (uint8 kernel stem) == raw-frames
+    path through the full tower at f32."""
+    from jegal_tpu.host import media
+    from jegal_tpu.ops.video import mask_frames_s2d
+
+    t = 7
+    frames = rng.integers(0, 255, (t, 270, 480, 3)).astype(np.uint8)
+    cut = rng.integers(90, 140, (t,)).astype(np.int32)
+
+    raw = np.asarray(G.extract_features_x(
+        params, mask_frames_s2d(jnp.asarray(frames), jnp.asarray(cut),
+                                dtype=jnp.float32),
+        chunk=160, interpret=True))
+    planar = jnp.asarray(media.s2d_repack(frames, cut))
+    out = np.asarray(G.extract_features_planar(
+        params, planar, chunk=160, dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(out, raw, atol=2e-5, rtol=2e-5)

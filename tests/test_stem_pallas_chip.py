@@ -96,3 +96,15 @@ def test_f32_stem_compiles_and_matches_planar():
     pl_out = np.asarray(jax.jit(lambda p: G.extract_features_x(
         params, s2d_from_planar(p, dtype=jnp.float32), chunk=160))(planar))
     np.testing.assert_allclose(pl_out, raw, rtol=2e-5, atol=2e-5)
+
+    # uint8-ingesting stem kernel (stem_mgrid_planar: bytes DMA'd into the
+    # kernel, cast in VMEM, /255 folded into lhs) — the production planar
+    # path; f32 also pins the halved-t_blk u8 geometry on real hardware
+    u8_out = np.asarray(jax.jit(lambda p: G.extract_features_planar(
+        params, p, chunk=160, dtype=jnp.float32))(planar))
+    # tolerance: the /255 fold moves one rounding site into the conv
+    # weights, and the MXU's DEFAULT f32 precision (bf16 passes; the kernel
+    # cannot request HIGHEST — Mosaic rejects the multi-pass emulation)
+    # amplifies that through the tower to ~6e-4 abs (measured); interpret
+    # mode pins the same comparison at 2e-5 in test_stem_pallas.py
+    np.testing.assert_allclose(u8_out, raw, rtol=2e-3, atol=2e-3)
