@@ -518,7 +518,11 @@ def cmd_extract_feats(args):
     df = pd.read_csv(args.file_path)
     files = list(df["filename"])
     files = files[rank::nshard] if nshard > 1 else files
-    engine = JegalEngine(
+    # args.engine: optional pre-built JegalEngine (benchmark harnesses and
+    # embedding callers reuse one engine across runs — jit executables are
+    # per-engine, and runtimes that cannot serialize them to the
+    # persistent cache would otherwise recompile per call)
+    engine = getattr(args, "engine", None) or JegalEngine(
         jegal_params=None,
         gestsync_params=C.load_gestsync(args.checkpoint_path),
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
@@ -586,20 +590,34 @@ def cmd_extract_feats(args):
         np.save(out, feat)
         stats["done"] += 1
 
-    def flush():
-        if not batch:
+    # one engine call in flight on a worker thread: the host->device
+    # transfer + tower compute of batch k overlap the decode pool AND the
+    # np.save of batch k-1 (measured: transfer and compute overlap cleanly
+    # on-stream, so the driver floor drops from transfer+compute serial to
+    # max(transfer, decode) per batch)
+    from concurrent.futures import ThreadPoolExecutor
+
+    compute_pool = ThreadPoolExecutor(max_workers=1)
+    inflight: list = []  # [(batch_items, future)] -- at most 1 entry
+
+    def compute(items):
+        return engine.gestsync_features_from_raw_many(
+            [(fr, chin) for _, _, (fr, chin) in items],
+            batch_size=args.batch_size, mesh=mesh)
+
+    def drain():
+        """Save the results of the previous in-flight batch (with a
+        per-clip fallback so one bad clip cannot sink its batchmates, and
+        per-file error capture — a failed np.save must not trigger
+        recompute or double-count clips that already saved)."""
+        if not inflight:
             return
-        # compute first (batched, with a per-clip fallback so one bad clip
-        # cannot sink its batchmates), THEN save with per-file error
-        # capture — a failed np.save must not trigger recompute or
-        # double-count clips that already saved
+        items, fut = inflight.pop(0)
         try:
-            feats = engine.gestsync_features_from_raw_many(
-                [(fr, chin) for _, _, (fr, chin) in batch],
-                batch_size=args.batch_size, mesh=mesh)
+            feats = fut.result()
         except Exception:
             feats = []
-            for f, _, (fr, chin) in batch:
+            for f, _, (fr, chin) in items:
                 try:
                     feats.append(engine.gestsync_features(fr, chin))
                 except Exception as e:
@@ -607,7 +625,7 @@ def cmd_extract_feats(args):
                     stats["failed"] += 1
                     print(json.dumps({"file": f, "error": str(e)}),
                           file=sys.stderr)
-        for (f, out, _), feat in zip(batch, feats):
+        for (f, out, _), feat in zip(items, feats):
             if feat is None:
                 continue
             try:
@@ -616,7 +634,15 @@ def cmd_extract_feats(args):
                 stats["failed"] += 1
                 print(json.dumps({"file": f, "error": str(e)}),
                       file=sys.stderr)
+
+    def flush():
+        if not batch:
+            return
+        items = batch[:]
         batch.clear()
+        fut = compute_pool.submit(compute, items)
+        drain()  # save the PREVIOUS batch while this one transfers/computes
+        inflight.append((items, fut))
 
     while True:
         item = q.get()
@@ -636,6 +662,8 @@ def cmd_extract_feats(args):
         if len(batch) >= args.batch_size:
             flush()
     flush()
+    drain()
+    compute_pool.shutdown(wait=True)
     print(json.dumps(stats))
 
 
