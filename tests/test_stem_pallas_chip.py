@@ -108,3 +108,38 @@ def test_f32_stem_compiles_and_matches_planar():
     # amplifies that through the tower to ~6e-4 abs (measured); interpret
     # mode pins the same comparison at 2e-5 in test_stem_pallas.py
     np.testing.assert_allclose(u8_out, raw, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="needs a TPU backend")
+def test_engine_planar_paths_bf16_on_chip():
+    """bf16 engine drive of the uint8-kernel planar paths on real hardware:
+    single-clip raw vs planar cosine, and the cross-video batched planar
+    tower vs per-clip planar (the extract-feats production path)."""
+    from jegal_tpu.api import JegalEngine
+    from jegal_tpu.host import media
+    from jegal_tpu.models import jegal as J
+
+    rng = np.random.default_rng(7)
+    eng = JegalEngine(jegal_params=J.init_params(jax.random.PRNGKey(0)),
+                      gestsync_params=G.init_params(jax.random.PRNGKey(1)),
+                      dtype=jnp.bfloat16)
+    t = 40
+    fr = rng.integers(0, 255, (t, 270, 480, 3)).astype(np.uint8)
+    chin = rng.integers(90, 140, (t,)).astype(np.int32)
+    planar = media.s2d_repack(fr, chin)
+
+    a = np.asarray(eng.gestsync_features(fr, chin), np.float32)
+    b = np.asarray(eng.gestsync_features(planar), np.float32)
+    assert a.shape == b.shape == (t, 1024)
+    cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 1 - 1e-4, cos
+
+    clips = [(media.s2d_repack(fr[:25 + 5 * i], chin[:25 + 5 * i]), None)
+             for i in range(3)]
+    outs = eng.gestsync_features_from_raw_many(clips, batch_size=4)
+    for i, o in enumerate(outs):
+        o = np.asarray(o, np.float32)
+        s = np.asarray(eng.gestsync_features(clips[i][0]), np.float32)
+        c = float((o * s).sum() / (np.linalg.norm(o) * np.linalg.norm(s)))
+        assert o.shape == s.shape and c > 1 - 1e-4, (i, c)
