@@ -276,12 +276,8 @@ class JegalEngine:
             if mesh is None:
                 self._gestsync_batch_fn[key] = jax.jit(fn)
             else:
-                from jax.sharding import PartitionSpec as P
-
-                self._gestsync_batch_fn[key] = jax.jit(jax.shard_map(
-                    fn, mesh=mesh,
-                    in_specs=(P(), P("data"), P("data")),
-                    out_specs=P("data"), check_vma=False))
+                self._gestsync_batch_fn[key] = jax.jit(
+                    G.shard_batch_tower(fn, mesh))
 
         # group by T bucket; pad B to the power-of-two ladder (one jit per
         # (bucket, pow2-B) — bounded compiles, bounded tail waste)
@@ -309,14 +305,20 @@ class JegalEngine:
                         chin = np.asarray(chin, np.int32)
                         cut[bi, :t] = chin
                         cut[bi, t:] = chin[-1]
-                fr = jnp.asarray(fr)
-                cutj = jnp.asarray(cut)
                 if mesh is not None:
+                    # shard straight from host memory: device_put on the
+                    # numpy batch places each 'data' shard on its device
+                    # once — jnp.asarray first would land the whole batch
+                    # on device 0 and reshard device-to-device (double
+                    # movement of the pipeline's largest tensor)
                     from jax.sharding import NamedSharding, PartitionSpec
 
                     spec = NamedSharding(mesh, PartitionSpec("data"))
                     fr = jax.device_put(fr, spec)
-                    cutj = jax.device_put(cutj, spec)
+                    cutj = jax.device_put(cut, spec)
+                else:
+                    fr = jnp.asarray(fr)
+                    cutj = jnp.asarray(cut)
                 feats = self._gestsync_batch_fn[key](
                     self.gestsync_params, fr, cutj)
                 feats = np.asarray(feats)
@@ -613,14 +615,24 @@ class JegalEngine:
         return results
 
     def warmup(self, modalities: str = "vta", t: int = 128, s: int = 64,
-               w: int = 16, mel: int = 512, batch: int = 1) -> None:
+               w: int = 16, mel: int = 512, batch: int = 1,
+               mesh=None) -> None:
         """Precompile the jit graph for one (combo, bucket) so the first real
         request doesn't pay compile latency (serving warm-start; pairs with
         the persistent compilation cache). Shapes are bucket values from
-        jegal_tpu.data.bucketing."""
+        jegal_tpu.data.bucketing.
+
+        mesh: warm the DATA-SHARDED graph instead — jit executables are
+        keyed by input sharding, so a --data_parallel server warmed with
+        replicated inputs would still compile the sharded graph inside the
+        first live request. batch is rounded up to a multiple of the
+        'data' axis size (matching extract_many's rounding)."""
         use_v = "v" in modalities
         use_t = "t" in modalities
         use_a = "a" in modalities
+        if mesh is not None:
+            d = mesh.shape.get("data", 1)
+            batch = ((batch + d - 1) // d) * d
         arrays: dict = {}
         if use_v:
             arrays["visual_feats"] = jnp.zeros((batch, t, 1024), self.dtype)
@@ -635,6 +647,12 @@ class JegalEngine:
             arrays["audio_mel"] = jnp.zeros((batch, mel, 80), self.dtype)
             arrays["audio_pool"] = jnp.zeros((batch, w, mel // 4), self.dtype)
             arrays["audio_valid"] = jnp.full((batch,), mel, jnp.int32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            spec = NamedSharding(mesh, PartitionSpec("data"))
+            arrays = {k: jax.device_put(np.asarray(v), spec)
+                      for k, v in arrays.items()}
         out = self._forward((use_v, use_t, use_a), arrays)
         for leaf in jax.tree.leaves(out):
             np.asarray(leaf).ravel()[:1]  # force compile + execute

@@ -489,12 +489,23 @@ def _resolve_shard(args):
     --nshard launch style, extract_kps.py:23-26, keeps working)."""
     rank, nshard = args.rank, args.nshard
     if rank is None or nshard is None:
-        import jax
+        # consult jax ONLY when a jax.distributed coordinator is actually
+        # configured: jax.process_count() initializes the device backend,
+        # which would make pure HOST stages (preprocess, extract-kps,
+        # transcribe) acquire the TPU and conflict with a device process
+        # running alongside them on the same VM
+        from jax._src import distributed
 
-        if nshard is None:
-            nshard = jax.process_count()
-        if rank is None:
-            rank = jax.process_index()
+        if getattr(distributed.global_state, "coordinator_address", None):
+            import jax
+
+            if nshard is None:
+                nshard = jax.process_count()
+            if rank is None:
+                rank = jax.process_index()
+        else:
+            rank = 0 if rank is None else rank
+            nshard = 1 if nshard is None else nshard
     return rank, nshard
 
 
@@ -527,14 +538,8 @@ def cmd_extract_feats(args):
         gestsync_params=C.load_gestsync(args.checkpoint_path),
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
-    mesh = None
-    if getattr(args, "data_parallel", False):
-        import jax
-
-        from jegal_tpu.parallel.mesh import make_mesh
-
-        if len(jax.devices()) > 1:
-            mesh = make_mesh(len(jax.devices()), model_parallel=1)
+    mesh = (_data_mesh()
+            if getattr(args, "data_parallel", False) else None)
     os.makedirs(args.res_dir, exist_ok=True)
     stats = {"done": 0, "skipped": 0, "failed": 0}
 
@@ -601,20 +606,16 @@ def cmd_extract_feats(args):
     inflight: list = []  # [(batch_items, future)] -- at most 1 entry
 
     def compute(items):
-        return engine.gestsync_features_from_raw_many(
-            [(fr, chin) for _, _, (fr, chin) in items],
-            batch_size=args.batch_size, mesh=mesh)
-
-    def drain():
-        """Save the results of the previous in-flight batch (with a
-        per-clip fallback so one bad clip cannot sink its batchmates, and
-        per-file error capture — a failed np.save must not trigger
-        recompute or double-count clips that already saved)."""
-        if not inflight:
-            return
-        items, fut = inflight.pop(0)
+        """Runs ONLY on the single-worker pool thread — the engine's lazy
+        jit caches are not lock-protected, so every engine call (batched
+        AND the per-clip fallback that keeps one bad clip from sinking its
+        batchmates) stays on this one thread; errors come back as
+        (feats, error_records) so the main thread only saves/prints."""
+        errors = []
         try:
-            feats = fut.result()
+            feats = engine.gestsync_features_from_raw_many(
+                [(fr, chin) for _, _, (fr, chin) in items],
+                batch_size=args.batch_size, mesh=mesh)
         except Exception:
             feats = []
             for f, _, (fr, chin) in items:
@@ -622,9 +623,20 @@ def cmd_extract_feats(args):
                     feats.append(engine.gestsync_features(fr, chin))
                 except Exception as e:
                     feats.append(None)
-                    stats["failed"] += 1
-                    print(json.dumps({"file": f, "error": str(e)}),
-                          file=sys.stderr)
+                    errors.append((f, str(e)))
+        return feats, errors
+
+    def drain():
+        """Save the results of the previous in-flight batch, with
+        per-file error capture — a failed np.save must not trigger
+        recompute or double-count clips that already saved."""
+        if not inflight:
+            return
+        items, fut = inflight.pop(0)
+        feats, errors = fut.result()
+        for f, msg in errors:
+            stats["failed"] += 1
+            print(json.dumps({"file": f, "error": msg}), file=sys.stderr)
         for (f, out, _), feat in zip(items, feats):
             if feat is None:
                 continue
@@ -674,11 +686,7 @@ def cmd_extract_embs(args):
 
     rank, nshard = _resolve_shard(args)
     engine = _load_engine(args)
-    mesh = None
-    if args.batch_size > 1 and len(jax.devices()) > 1:
-        from jegal_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh(len(jax.devices()), model_parallel=1)
+    mesh = _data_mesh() if args.batch_size > 1 else None
     stats = extract_embeddings_csv(
         engine,
         csv_path=args.file_path,
@@ -694,8 +702,9 @@ def cmd_extract_embs(args):
     print(json.dumps(stats))
 
 
-def _eval_mesh():
-    """The data-parallel mesh for on-device evals (None on one device)."""
+def _data_mesh():
+    """The all-devices data-parallel mesh (None on one device) — the single
+    mesh constructor for extract-feats/extract-embs/serve/on-device evals."""
     import jax
 
     if len(jax.devices()) > 1:
@@ -709,7 +718,7 @@ def cmd_eval_retrieval(args):
     from jegal_tpu.eval import retrieval
 
     if args.on_device:
-        res = retrieval.evaluate_device(args.path, _eval_mesh())
+        res = retrieval.evaluate_device(args.path, _data_mesh())
     else:
         res = retrieval.evaluate(args.path)
     print(json.dumps(res, indent=2))
@@ -720,7 +729,7 @@ def cmd_eval_spotting(args):
 
     if args.on_device:
         res = spotting.evaluate_device(args.path, args.threshold,
-                                       args.frame_threshold, _eval_mesh())
+                                       args.frame_threshold, _data_mesh())
     else:
         res = spotting.evaluate(args.path, args.threshold,
                                 args.frame_threshold)
@@ -734,7 +743,7 @@ def cmd_eval_asd(args):
 
     if args.on_device:
         res = asd.evaluate_device(args.path, pd.read_csv(args.file),
-                                  _eval_mesh())
+                                  _data_mesh())
     else:
         res = asd.evaluate(args.path, pd.read_csv(args.file))
     print(json.dumps(res, indent=2))
@@ -866,11 +875,7 @@ def cmd_serve(args):
 
     engine = _load_engine(args)
     combos = [c for c in args.warmup_combos.split(",") if c]
-    mesh = None
-    if args.data_parallel and len(jax.devices()) > 1:
-        from jegal_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh(len(jax.devices()), model_parallel=1)
+    mesh = _data_mesh() if args.data_parallel else None
     serve(engine, host=args.host, port=args.port, warmup_combos=combos,
           batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
           mesh=mesh, max_body_bytes=args.max_body_mb * 1024 * 1024)

@@ -137,12 +137,16 @@ def evaluate_device(res_dir: str, df, mesh=None) -> dict:
         cands[i, : len(cs)] = np.stack(cs)
         count[i] = len(cs)
 
-    args = [jnp.asarray(a) for a in (q, cands, count)]
+    raw = (q, cands, count)
     if mesh is not None:
+        # device_put the numpy arrays directly — one host->device pass per
+        # shard, no device-0 staging + reshard
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         args = [jax.device_put(a, NamedSharding(mesh, P("data")))
-                for a in args]
+                for a in raw]
+    else:
+        args = [jnp.asarray(a) for a in raw]
     preds = jax.jit(_asd_batch_device, static_argnums=3)(*args, speakers)
     for n_spk in speakers:
         p = np.asarray(preds[n_spk])[:evaluated]

@@ -136,15 +136,18 @@ def compute_metrics_device(emb_q: np.ndarray, emb_k: np.ndarray,
     q[:n], k[:n] = emb_q, emb_k
     valid = np.zeros((n_pad,), np.float32)
     valid[:n] = 1.0
-    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(valid))
     if mesh is not None:
+        # device_put the numpy arrays directly — one host->device pass per
+        # shard, no device-0 staging + reshard
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         args = (
-            jax.device_put(args[0], NamedSharding(mesh, P("data"))),
-            jax.device_put(args[1], NamedSharding(mesh, P())),
-            jax.device_put(args[2], NamedSharding(mesh, P())),
+            jax.device_put(q, NamedSharding(mesh, P("data"))),
+            jax.device_put(k, NamedSharding(mesh, P())),
+            jax.device_put(valid, NamedSharding(mesh, P())),
         )
+    else:
+        args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(valid))
     out = jax.jit(_metrics_on_device)(*args)
     return {kk: float(v) for kk, v in out.items()}
 

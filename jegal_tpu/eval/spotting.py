@@ -117,35 +117,69 @@ def evaluate_device(path: str, thresh: float = THRESHOLD,
     n = len(videos)
     d = videos[0][0].shape[1]
 
-    def _pad16(x):
-        return ((x + 15) // 16) * 16
+    def _bucket16(x):
+        """Next power of two >= 16 — bounds distinct compile shapes."""
+        b = 16
+        while b < x:
+            b *= 2
+        return b
 
-    t_max = _pad16(max(g.shape[0] for g, _, _, _ in videos))
-    w_max = _pad16(max(c.shape[0] for _, c, _, _ in videos))
-    n_pad = n
-    if mesh is not None:
-        dx = mesh.shape.get("data", 1)
-        n_pad = ((n + dx - 1) // dx) * dx
-    gest = np.zeros((n_pad, t_max, d), np.float32)
-    cont = np.zeros((n_pad, w_max, d), np.float32)
-    t_valid = np.ones((n_pad,), np.int32)   # padded rows: 1 dummy frame/word
-    w_valid = np.ones((n_pad,), np.int32)
-    word_idx = np.zeros((n_pad,), np.int32)
-    for i, (g, c, wi, _) in enumerate(videos):
-        gest[i, : g.shape[0]] = g
-        cont[i, : c.shape[0]] = c
-        t_valid[i], w_valid[i], word_idx[i] = g.shape[0], c.shape[0], wi
+    # group videos by length (sorted) with a bounded padded-tensor budget:
+    # padding every video to the GLOBAL max would let one long outlier
+    # inflate the whole (n, t_max, d) tensor (e.g. a 15k-frame clip in a
+    # 500-video set -> ~30 GB); per-group local maxima keep the device
+    # working set capped while same-length corpora still run in one group
+    MAX_ELEMS = 1 << 26  # per-group gest f32 elements (~256 MB)
+    order = sorted(range(n), key=lambda i: videos[i][0].shape[0])
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    for i in order:
+        t_b = _bucket16(videos[i][0].shape[0])
+        if cur and ((len(cur) + 1) * t_b * d > MAX_ELEMS or len(cur) >= 512):
+            groups.append(cur)
+            cur = []
+        cur.append(i)
+    if cur:
+        groups.append(cur)
 
     from jegal_tpu.eval.common import TEMP
 
-    args = [jnp.asarray(a) for a in (gest, cont, t_valid, w_valid, word_idx)]
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+    pred = np.zeros((n,), np.int64)
+    score = np.zeros((n,), np.float64)
+    for idxs in groups:
+        m = len(idxs)
+        t_max = _bucket16(max(videos[i][0].shape[0] for i in idxs))
+        w_max = _bucket16(max(videos[i][1].shape[0] for i in idxs))
+        m_pad = m
+        if mesh is not None:
+            dx = mesh.shape.get("data", 1)
+            m_pad = ((m + dx - 1) // dx) * dx
+        gest = np.zeros((m_pad, t_max, d), np.float32)
+        cont = np.zeros((m_pad, w_max, d), np.float32)
+        t_valid = np.ones((m_pad,), np.int32)  # padded rows: 1 dummy each
+        w_valid = np.ones((m_pad,), np.int32)
+        word_idx = np.zeros((m_pad,), np.int32)
+        for bi, i in enumerate(idxs):
+            g, c, wi, _ = videos[i]
+            gest[bi, : g.shape[0]] = g
+            cont[bi, : c.shape[0]] = c
+            t_valid[bi], w_valid[bi], word_idx[bi] = (g.shape[0],
+                                                      c.shape[0], wi)
+        raw = (gest, cont, t_valid, w_valid, word_idx)
+        if mesh is not None:
+            # device_put the NUMPY arrays: shards go host->device once
+            # each (jnp.asarray first would land everything on device 0,
+            # then reshard device-to-device)
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-        args = [jax.device_put(a, NamedSharding(mesh, P("data")))
-                for a in args]
-    pred, score = jax.jit(_spot_batch_device, static_argnums=5)(*args, TEMP)
-    pred, score = np.asarray(pred), np.asarray(score)
+            args = [jax.device_put(a, NamedSharding(mesh, P("data")))
+                    for a in raw]
+        else:
+            args = [jnp.asarray(a) for a in raw]
+        p, s = jax.jit(_spot_batch_device, static_argnums=5)(*args, TEMP)
+        p, s = np.asarray(p), np.asarray(s)
+        for bi, i in enumerate(idxs):
+            pred[i], score[i] = p[bi], s[bi]
 
     correct = 0
     for i, (_, _, _, target) in enumerate(videos):

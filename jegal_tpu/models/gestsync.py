@@ -564,36 +564,44 @@ def extract_features_batch_planar(params, planar_u8, chunk: int = 160,
                                   num_chunks, window_batch)
 
 
+def shard_batch_tower(fn, mesh):
+    """THE data-parallel sharding contract for batched tower bodies: wrap a
+    (params, frames (B, ...), cut (B, T)) -> (B, T, 1024) fn so the B axis
+    shards over the mesh 'data' axis with replicated params.
+
+    Clips are independent, so B splits cleanly: each device runs the full
+    chunked tower on its local B/data clips — no collectives in the tower
+    at all (the ICI cost is zero; XLA only all-gathers if the caller asks
+    for a replicated output). B must be a multiple of the 'data' axis
+    size. shard_map (not GSPMD annotations) because the tower's
+    (video, chunk) lax.map is a scan XLA cannot split across devices by
+    itself. Single definition shared by the raw/planar/CPU tower variants
+    (api.gestsync_features_from_raw_many) so the specs cannot diverge.
+
+    This is the multi-device path for the FLOPs-dominant stage of the
+    pipeline (the reference parallelizes the same workload with N processes
+    over file shards — preprocess/extract_gestsync_feats.py:314-338)."""
+    from jax.sharding import PartitionSpec as _P
+
+    return jax.shard_map(fn, mesh=mesh,
+                         in_specs=(_P(), _P("data"), _P("data")),
+                         out_specs=_P("data"), check_vma=False)
+
+
 def extract_features_batch_raw_sharded(params, frames_u8, cut, mesh,
                                        chunk: int = 160,
                                        window_batch: int = 512,
                                        w_pool: int = 78,
                                        dtype=jnp.bfloat16,
                                        interpret: bool = False):
-    """Data-parallel batched tower: clips shard over the mesh 'data' axis.
-
-    Clips are independent, so the B axis of extract_features_batch_raw
-    splits cleanly: each device runs the full chunked tower on its local
-    B/data clips with replicated params — no collectives in the tower at
-    all (the ICI cost is zero; XLA only all-gathers if the caller asks for
-    a replicated output). B must be a multiple of the 'data' axis size.
-    shard_map (not GSPMD annotations) because the tower's (video, chunk)
-    lax.map is a scan XLA cannot split across devices by itself.
-
-    This is the multi-device path for the FLOPs-dominant stage of the
-    pipeline (the reference parallelizes the same workload with N processes
-    over file shards — preprocess/extract_gestsync_feats.py:314-338)."""
+    """extract_features_batch_raw with clips sharded over 'data' (see
+    shard_batch_tower)."""
     import functools as _ft
-
-    from jax.sharding import PartitionSpec as _P
 
     f = _ft.partial(extract_features_batch_raw, chunk=chunk,
                     window_batch=window_batch, w_pool=w_pool, dtype=dtype,
                     interpret=interpret)
-    return jax.shard_map(f, mesh=mesh,
-                         in_specs=(_P(), _P("data"), _P("data")),
-                         out_specs=_P("data"), check_vma=False)(
-        params, frames_u8, cut)
+    return shard_batch_tower(f, mesh)(params, frames_u8, cut)
 
 
 def extract_features_batch(params, frames, chunk: int = 160,

@@ -63,8 +63,8 @@ _IMPL = "dense"
 
 def set_impl(impl: str):
     global _IMPL
-    if impl == "auto":        # legacy alias for the pre-dense default
-        impl = "kernel"
+    if impl == "auto":        # restore the measured-fastest default
+        impl = "dense"
     assert impl in ("dense", "kernel", "off"), impl
     _IMPL = impl
 

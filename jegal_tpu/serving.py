@@ -87,6 +87,15 @@ class _Batcher:
         ev = threading.Event()
         slot: dict = {}
         self.q.put((modalities, sample, ev, slot))
+        # re-check AFTER the put: if the worker died between the check
+        # above and the enqueue, its one-shot drain may already have run
+        # and nothing will ever consume this item — fail it here instead
+        # of stalling the client for the full timeout
+        if self.dead is not None and not ev.is_set():
+            slot.setdefault("error",
+                            RuntimeError(f"batcher worker died: "
+                                         f"{self.dead!r}"))
+            ev.set()
         if not ev.wait(self.SUBMIT_TIMEOUT_S):
             raise RuntimeError(
                 f"batcher timeout after {self.SUBMIT_TIMEOUT_S:.0f}s "
@@ -218,15 +227,26 @@ def _make_handler(engine, lock: threading.Lock, batcher: _Batcher | None,
                     # bit-identical, tested), then run the lighter planar
                     # device graph under the lock
                     frames = np.asarray(frames, np.uint8)
-                    try:
-                        from jegal_tpu.host import media
-                        from jegal_tpu.ops.video import FALLBACK_ROWS
+                    # validate BEFORE the native repack: malformed client
+                    # shapes must surface as 400 (ClientError), not as a
+                    # repack AssertionError mapped to a 500 server fault
+                    if frames.ndim != 4 or (
+                            frames.shape[1:] not in ((270, 480, 3),
+                                                     (90, 27, 160))):
+                        raise ClientError(
+                            "frames must be (T, 270, 480, 3) uint8 "
+                            "decoder-resized RGB or (T, 90, 27, 160) "
+                            f"host-repacked planar, got {frames.shape}")
+                    if frames.shape[1:] == (270, 480, 3):
+                        try:
+                            from jegal_tpu.host import media
+                            from jegal_tpu.ops.video import FALLBACK_ROWS
 
-                        frames = media.s2d_repack(
-                            frames, np.full((frames.shape[0],),
-                                            FALLBACK_ROWS, np.int32))
-                    except (OSError, subprocess.CalledProcessError):
-                        pass  # no native lib: raw-frames device path below
+                            frames = media.s2d_repack(
+                                frames, np.full((frames.shape[0],),
+                                                FALLBACK_ROWS, np.int32))
+                        except (OSError, subprocess.CalledProcessError):
+                            pass  # no native lib: raw-frames path below
                     with lock:
                         visual_feats = engine.gestsync_features(frames)
                 sample = dict(
@@ -295,10 +315,13 @@ def serve(engine, host: str = "127.0.0.1", port: int = 8000,
           max_batch: int = 8, mesh=None,
           max_body_bytes: int = DEFAULT_MAX_BODY) -> None:
     # warm the graphs the traffic will actually hit: the batcher dispatches
-    # fixed max_batch batches via extract_many, not batch-1 forwards
+    # fixed max_batch batches via extract_many (with 'data'-sharded inputs
+    # when a mesh is configured — jit executables are keyed by sharding,
+    # so warming replicated graphs would leave the sharded compile for the
+    # first live request), not batch-1 forwards
     warm_batch = max_batch if batch_window_ms > 0 else 1
     for combo in warmup_combos:
-        engine.warmup(modalities=combo, batch=warm_batch)
+        engine.warmup(modalities=combo, batch=warm_batch, mesh=mesh)
     server = create_server(engine, host, port,
                            batch_window_ms=batch_window_ms,
                            max_batch=max_batch, mesh=mesh,
