@@ -74,6 +74,12 @@ def evaluate(path: str, thresh: float = THRESHOLD,
 # host (scalar compares per video). Equal to the numpy path whenever the
 # target row is tie-free (measure-zero on real embeddings).
 
+# Per-group budget for the padded (m, t_max, d) f32 gesture tensor (~256 MB):
+# one long outlier must not inflate the whole batch's padding (see
+# evaluate_device grouping). Module-level so tests can shrink it to force
+# multi-group runs.
+MAX_GROUP_ELEMS = 1 << 26
+
 
 def _spot_batch_device(gesture, content, t_valid, w_valid, word_idx, temp):
     """gesture (N, T, D), content (N, W, D) fp32; *_valid counts; word_idx
@@ -124,18 +130,18 @@ def evaluate_device(path: str, thresh: float = THRESHOLD,
             b *= 2
         return b
 
-    # group videos by length (sorted) with a bounded padded-tensor budget:
-    # padding every video to the GLOBAL max would let one long outlier
-    # inflate the whole (n, t_max, d) tensor (e.g. a 15k-frame clip in a
-    # 500-video set -> ~30 GB); per-group local maxima keep the device
-    # working set capped while same-length corpora still run in one group
-    MAX_ELEMS = 1 << 26  # per-group gest f32 elements (~256 MB)
+    # group videos by length (sorted) with a bounded padded-tensor budget
+    # (MAX_GROUP_ELEMS): padding every video to the GLOBAL max would let one
+    # long outlier inflate the whole (n, t_max, d) tensor (e.g. a 15k-frame
+    # clip in a 500-video set -> ~30 GB); per-group local maxima keep the
+    # device working set capped while same-length corpora run in one group
     order = sorted(range(n), key=lambda i: videos[i][0].shape[0])
     groups: list[list[int]] = []
     cur: list[int] = []
     for i in order:
         t_b = _bucket16(videos[i][0].shape[0])
-        if cur and ((len(cur) + 1) * t_b * d > MAX_ELEMS or len(cur) >= 512):
+        if cur and ((len(cur) + 1) * t_b * d > MAX_GROUP_ELEMS
+                    or len(cur) >= 512):
             groups.append(cur)
             cur = []
         cur.append(i)

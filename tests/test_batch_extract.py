@@ -180,3 +180,18 @@ def test_planar_tower_paths_equal_raw(rng):
         for a, b in zip(raw, plm):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=2e-5, atol=2e-5)
+
+
+def test_warmup_shards_with_mesh(engine):
+    """engine.warmup(mesh=...) must precompile the 'data'-sharded graph —
+    jit executables are keyed by input sharding, so a --data_parallel
+    server warmed replicated would still compile inside the first live
+    request. batch rounds up to a multiple of the 'data' axis size and
+    the call completes (compile + execute) without error."""
+    from jegal_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    mesh = make_mesh(8, model_parallel=1)
+    engine.warmup(modalities="vta", batch=3, mesh=mesh)  # rounds to 8
+    engine.warmup(modalities="t", batch=8, mesh=mesh)

@@ -204,6 +204,54 @@ def test_spotting_device_mesh_sharded(spot_dir):
 
 
 @pytest.fixture
+def spot_outlier_dir(tmp_path, rng):
+    """Mixed-length spotting set with long outliers: 37 short videos
+    (T in [20, 48)) plus 3 long ones (T ~ 600/900/1500) so the grouped
+    device path must split them instead of padding everything to T=1500."""
+    d = tmp_path / "spot_mixed"
+    d.mkdir()
+    dim = 64
+    lengths = [int(rng.integers(20, 48)) for _ in range(37)] + [600, 900, 1500]
+    for i, t in enumerate(lengths):
+        w = int(rng.integers(2, 9))
+        content = rng.standard_normal((w, dim)).astype(np.float32)
+        gesture = 0.05 * rng.standard_normal((t, dim)).astype(np.float32)
+        wi = int(rng.integers(0, w))
+        span = sorted(rng.integers(0, t, size=2).tolist())
+        if i % 2 == 0:
+            gesture[min(span[0], t - 1)] = content[wi] * 8
+        wbs = [[f"w{j}", j, j + 1] for j in range(w)]
+        wbs[wi] = [f"w{wi}", span[0], span[1]]
+        _write_pkl(d / f"v{i:03d}.pkl", gesture, content,
+                   {"word_boundaries": str(wbs),
+                    "target_word_boundary": str(wbs[wi])})
+    return str(d)
+
+
+def test_spotting_device_multi_group(spot_outlier_dir, monkeypatch):
+    """Shrinking MAX_GROUP_ELEMS forces the device eval to run several
+    length-bucketed groups (the long-outlier protection); the index
+    scatter back through the sorted order must still reproduce the host
+    result exactly, on one device and sharded over the mesh (where group
+    sizes don't divide the 'data' axis and need per-group pad rows)."""
+    import jax
+
+    from jegal_tpu.parallel.mesh import make_mesh
+
+    # 40 videos, d=64: budget of 2^13 elems caps a T=128-bucket group at
+    # exactly 1 video, a T=32 group at 4 — guarantees >= 5 groups
+    monkeypatch.setattr(spotting, "MAX_GROUP_ELEMS", 1 << 13)
+    host = spotting.evaluate(spot_outlier_dir)
+    dev = spotting.evaluate_device(spot_outlier_dir)
+    assert dev == host
+    assert 0 < host["correct"] < host["total"]
+
+    mesh = make_mesh(len(jax.devices()), model_parallel=1)
+    dev_m = spotting.evaluate_device(spot_outlier_dir, mesh=mesh)
+    assert dev_m == host
+
+
+@pytest.fixture
 def asd_set(tmp_path, rng):
     """500 ASD queries over a 40-speaker pool with ragged negative lists
     (some missing files, some shorter than the largest n_spk)."""

@@ -55,3 +55,28 @@ def test_two_process_distributed():
         assert o["cli"] == [r, 2]              # --rank/--nshard defaulting
         assert o["sum"] == 28.0                # sum(range(8)) across hosts
         assert o["psum"] == 28.0
+
+
+def test_resolve_shard_host_only_no_backend():
+    """Without a jax.distributed coordinator, _resolve_shard must default
+    to (0, 1) WITHOUT initializing the device backend: pure host stages
+    (preprocess, extract-kps, transcribe) run alongside device processes
+    on the same VM and must not acquire the TPU. The subprocess points
+    JAX_PLATFORMS at a nonexistent backend so any backend init raises."""
+    code = (
+        "import types, sys\n"
+        "args = types.SimpleNamespace(rank=None, nshard=None)\n"
+        "from jegal_tpu.cli.main import _resolve_shard\n"
+        "assert _resolve_shard(args) == (0, 1)\n"
+        # explicit flags still override, still without touching jax
+        "args = types.SimpleNamespace(rank=3, nshard=8)\n"
+        "assert _resolve_shard(args) == (3, 8)\n"
+        "import jax._src.xla_bridge as xb\n"
+        "assert not xb._backends, xb._backends\n"
+        "print('HOST_ONLY_OK')\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="no-such-platform")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "HOST_ONLY_OK" in out.stdout
