@@ -62,10 +62,9 @@ def _batch_ladder(n: int, cap: int) -> int:
     """Smallest power-of-two >= n, capped at `cap`: tail batches compile at
     most log2(cap)+1 graphs per bucket instead of always padding a 1-sample
     straggler to a full cap-sized batch (VERDICT r2 weak 6)."""
-    b = 1
-    while b < n and b < cap:
-        b *= 2
-    return min(b, cap)
+    from jegal_tpu.data.bucketing import pow2_bucket
+
+    return pow2_bucket(n, cap=cap)
 
 
 @dataclass
@@ -116,9 +115,11 @@ class JegalEngine:
     # Visual features (GestSync)
     # ------------------------------------------------------------------
 
-    def gestsync_features(self, masked_frames: np.ndarray) -> np.ndarray:
+    def gestsync_features_masked(self,
+                                 masked_frames: np.ndarray) -> np.ndarray:
         """masked_frames: (T + 24, 270, 480, 3) float32 [0,1] (already
-        face-masked and edge-padded +/-12) -> (T, 1024)."""
+        face-masked and edge-padded +/-12, the reference's own preprocessed
+        layout) -> (T, 1024)."""
         if self.gestsync_params is None:
             raise RuntimeError("engine has no GestSync parameters")
         t = masked_frames.shape[0] - 2 * G.EDGE_PAD
@@ -131,17 +132,23 @@ class JegalEngine:
         feats = self._gestsync_fn(self.gestsync_params, jnp.asarray(frames, self.dtype))
         return np.asarray(feats[:t])
 
-    def gestsync_features(self, frames_u8: np.ndarray,
+    def gestsync_features(self, frames: np.ndarray,
                           chin_rows: np.ndarray | None = None) -> np.ndarray:
-        """Shape-dispatching front door for the single-clip tower: raw
+        """Dispatching front door for the single-clip tower: raw uint8
         decoder frames (T, 270, 480, 3) -> gestsync_features_from_raw
-        (mask+repack on device); host-repacked planar (T, 90, 27, 160)
-        (host.media.s2d_repack output, already masked; chin_rows must be
-        None) -> gestsync_features_from_planar. Identical results."""
-        if frames_u8.shape[1:] == (90, 27, 160):
+        (mask+repack on device); host-repacked planar uint8 (T, 90, 27,
+        160) (host.media.s2d_repack output, already masked; chin_rows must
+        be None) -> gestsync_features_from_planar; float frames (T + 24,
+        270, 480, 3) in [0, 1] (already face-masked AND edge-padded) ->
+        gestsync_features_masked. Identical results."""
+        if frames.shape[1:] == (90, 27, 160):
             assert chin_rows is None, "planar input is already masked"
-            return self.gestsync_features_from_planar(frames_u8)
-        return self.gestsync_features_from_raw(frames_u8, chin_rows)
+            return self.gestsync_features_from_planar(frames)
+        if np.issubdtype(np.asarray(frames).dtype, np.floating):
+            assert chin_rows is None, \
+                "float frames are pre-masked; chin_rows must be None"
+            return self.gestsync_features_masked(frames)
+        return self.gestsync_features_from_raw(frames, chin_rows)
 
     def gestsync_features_from_raw(self, frames_u8: np.ndarray,
                                    chin_rows: np.ndarray | None = None
@@ -305,20 +312,9 @@ class JegalEngine:
                         chin = np.asarray(chin, np.int32)
                         cut[bi, :t] = chin
                         cut[bi, t:] = chin[-1]
-                if mesh is not None:
-                    # shard straight from host memory: device_put on the
-                    # numpy batch places each 'data' shard on its device
-                    # once — jnp.asarray first would land the whole batch
-                    # on device 0 and reshard device-to-device (double
-                    # movement of the pipeline's largest tensor)
-                    from jax.sharding import NamedSharding, PartitionSpec
+                from jegal_tpu.parallel.mesh import put_batch
 
-                    spec = NamedSharding(mesh, PartitionSpec("data"))
-                    fr = jax.device_put(fr, spec)
-                    cutj = jax.device_put(cut, spec)
-                else:
-                    fr = jnp.asarray(fr)
-                    cutj = jnp.asarray(cut)
+                fr, cutj = put_batch((fr, cut), mesh)
                 feats = self._gestsync_batch_fn[key](
                     self.gestsync_params, fr, cutj)
                 feats = np.asarray(feats)
@@ -462,11 +458,21 @@ class JegalEngine:
         if use_v:
             if visual_feats is None:
                 raise ClientError("modality 'v' requires visual_feats")
-            va, t_true = self.prepare_visual(np.asarray(visual_feats))
+            vf = np.asarray(visual_feats)
+            if vf.ndim != 2 or vf.shape[1] != 1024 or vf.shape[0] == 0 \
+                    or not np.issubdtype(vf.dtype, np.number):
+                # validated HERE so malformed client tensors surface as
+                # 400s; ValueErrors deeper in the engine are server faults
+                raise ClientError(
+                    f"visual_feats must be a non-empty (T, 1024) numeric "
+                    f"array, got shape {vf.shape} dtype {vf.dtype}")
+            va, t_true = self.prepare_visual(vf)
             arrays.update(va)
         if use_t:
             if text is None:
                 raise ClientError("modality 't' requires text")
+            if not isinstance(text, str) or not text.strip():
+                raise ClientError("text must be a non-empty string")
             ta, n_words = self.prepare_text(text)
             if ta is None:
                 return None
@@ -475,7 +481,24 @@ class JegalEngine:
         if use_a:
             if wav is None or word_boundaries is None:
                 raise ClientError("modality 'a' requires wav and word_boundaries")
-            aa, n_words = self.prepare_audio(np.asarray(wav), word_boundaries)
+            wv = np.asarray(wav)
+            if wv.ndim != 1 or wv.size < 640 \
+                    or not np.issubdtype(wv.dtype, np.number):
+                raise ClientError(
+                    f"wav must be a 1-D numeric array of >= 640 samples "
+                    f"(one 40 ms frame at 16 kHz), got shape {wv.shape} "
+                    f"dtype {wv.dtype}")
+            try:
+                wbs_ok = all(len(w) >= 3 and float(w[1]) <= float(w[2])
+                             for w in word_boundaries)
+            except (TypeError, ValueError, KeyError):
+                wbs_ok = False
+            if not wbs_ok or len(word_boundaries) == 0:
+                raise ClientError(
+                    "word_boundaries must be a non-empty list of "
+                    "(word, start, end) with start <= end")
+            aa, n_words = self.prepare_audio(wv.astype(np.float32),
+                                             word_boundaries)
             if aa is None:
                 return None
             arrays.update(aa)
@@ -565,9 +588,16 @@ class JegalEngine:
                     samples[i] = dict(samples[i], visual_feats=f)
         prepared = []
         for s in samples:
-            prep = self._prepare_sample(
-                modalities, s.get("visual_feats"), s.get("text"),
-                s.get("word_boundaries"), s.get("wav"))
+            try:
+                prep = self._prepare_sample(
+                    modalities, s.get("visual_feats"), s.get("text"),
+                    s.get("word_boundaries"), s.get("wav"))
+            except ClientError:
+                # batch contract: one malformed sample maps to a None
+                # result (ledgered by the CLI drivers), never fails the
+                # corpus run; single-sample extract() keeps raising so
+                # serving can answer 400
+                prep = None
             prepared.append(prep)
 
         # group compatible shapes
@@ -597,14 +627,9 @@ class JegalEngine:
                              for i in chunk]
                     while len(parts) < b:
                         parts.append(np.zeros_like(parts[0]))
-                    stacked = np.stack(parts)
-                    if mesh is not None:
-                        from jax.sharding import NamedSharding, PartitionSpec
+                    from jegal_tpu.parallel.mesh import put_batch
 
-                        stacked = jax.device_put(
-                            stacked,
-                            NamedSharding(mesh, PartitionSpec("data")))
-                    arrays[kname] = jnp.asarray(stacked)
+                    arrays[kname], = put_batch((np.stack(parts),), mesh)
                 gesture, content = self._forward(use, arrays)
                 for bi, i in enumerate(chunk):
                     _, t_true, w_true = prepared[i]
@@ -648,11 +673,11 @@ class JegalEngine:
             arrays["audio_pool"] = jnp.zeros((batch, w, mel // 4), self.dtype)
             arrays["audio_valid"] = jnp.full((batch,), mel, jnp.int32)
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
+            from jegal_tpu.parallel.mesh import put_batch
 
-            spec = NamedSharding(mesh, PartitionSpec("data"))
-            arrays = {k: jax.device_put(np.asarray(v), spec)
-                      for k, v in arrays.items()}
+            arrays = dict(zip(arrays,
+                              put_batch([np.asarray(v)
+                                         for v in arrays.values()], mesh)))
         out = self._forward((use_v, use_t, use_a), arrays)
         for leaf in jax.tree.leaves(out):
             np.asarray(leaf).ravel()[:1]  # force compile + execute

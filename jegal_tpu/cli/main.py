@@ -869,10 +869,12 @@ def cmd_warmup(args):
 
 
 def cmd_serve(args):
-    import jax
-
     from jegal_tpu.serving import serve
 
+    if args.data_parallel and args.batch_window_ms <= 0:
+        raise SystemExit(
+            "--data_parallel requires --batch_window_ms > 0: requests run "
+            "data-parallel only through the cross-request batcher")
     engine = _load_engine(args)
     combos = [c for c in args.warmup_combos.split(",") if c]
     mesh = _data_mesh() if args.data_parallel else None

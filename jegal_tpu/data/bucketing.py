@@ -26,6 +26,17 @@ def next_bucket(n: int, buckets=T_BUCKETS) -> int:
     return -(-n // last) * last
 
 
+def pow2_bucket(n: int, floor: int = 1, cap: int | None = None) -> int:
+    """Smallest power of two >= max(n, floor), optionally capped: the one
+    rounding rule behind tail-batch ladders (api._batch_ladder) and
+    device-eval shape buckets — bounds distinct compile shapes to
+    log2(cap/floor)+1 per site."""
+    b = max(1, floor)
+    while b < n and (cap is None or b < cap):
+        b *= 2
+    return b if cap is None else min(b, cap)
+
+
 def pad_axis(arr, axis: int, target: int, value=0.0):
     """Zero-pad `arr` along `axis` up to `target` length (numpy or jax)."""
     import numpy as np

@@ -26,6 +26,8 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
+from jegal_tpu.api import ClientError
+
 
 def _out_name(filename: str) -> str:
     parts = filename.split("/")
@@ -124,7 +126,16 @@ def extract_embeddings_csv(engine, csv_path: str, video_dir: str,
                 errors.append({"file": str(row["filename"]), "error": payload})
                 continue
             if batch_size <= 1:
-                feats = engine.extract(**payload)
+                try:
+                    feats = engine.extract(**payload)
+                except ClientError as e:
+                    # malformed row data (engine-validated): ledger it and
+                    # keep the corpus run going, matching extract_many's
+                    # None-for-invalid batch contract
+                    stats["failed"] += 1
+                    errors.append({"file": str(row["filename"]),
+                                   "error": str(e)})
+                    continue
                 if feats is None:
                     stats["invalid"] += 1
                 else:

@@ -137,16 +137,9 @@ def evaluate_device(res_dir: str, df, mesh=None) -> dict:
         cands[i, : len(cs)] = np.stack(cs)
         count[i] = len(cs)
 
-    raw = (q, cands, count)
-    if mesh is not None:
-        # device_put the numpy arrays directly — one host->device pass per
-        # shard, no device-0 staging + reshard
-        from jax.sharding import NamedSharding, PartitionSpec as P
+    from jegal_tpu.parallel.mesh import put_batch
 
-        args = [jax.device_put(a, NamedSharding(mesh, P("data")))
-                for a in raw]
-    else:
-        args = [jnp.asarray(a) for a in raw]
+    args = put_batch((q, cands, count), mesh)
     preds = jax.jit(_asd_batch_device, static_argnums=3)(*args, speakers)
     for n_spk in speakers:
         p = np.asarray(preds[n_spk])[:evaluated]

@@ -137,8 +137,9 @@ def compute_metrics_device(emb_q: np.ndarray, emb_k: np.ndarray,
     valid = np.zeros((n_pad,), np.float32)
     valid[:n] = 1.0
     if mesh is not None:
-        # device_put the numpy arrays directly — one host->device pass per
-        # shard, no device-0 staging + reshard
+        # mixed specs (q sharded, k/valid replicated), so this one site
+        # can't ride parallel.mesh.put_batch; same direct-device_put
+        # rationale (no device-0 staging + reshard)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         args = (

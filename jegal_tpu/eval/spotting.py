@@ -123,12 +123,11 @@ def evaluate_device(path: str, thresh: float = THRESHOLD,
     n = len(videos)
     d = videos[0][0].shape[1]
 
+    from jegal_tpu.data.bucketing import pow2_bucket
+
     def _bucket16(x):
         """Next power of two >= 16 — bounds distinct compile shapes."""
-        b = 16
-        while b < x:
-            b *= 2
-        return b
+        return pow2_bucket(x, floor=16)
 
     # group videos by length (sorted) with a bounded padded-tensor budget
     # (MAX_GROUP_ELEMS): padding every video to the GLOBAL max would let one
@@ -171,17 +170,9 @@ def evaluate_device(path: str, thresh: float = THRESHOLD,
             cont[bi, : c.shape[0]] = c
             t_valid[bi], w_valid[bi], word_idx[bi] = (g.shape[0],
                                                       c.shape[0], wi)
-        raw = (gest, cont, t_valid, w_valid, word_idx)
-        if mesh is not None:
-            # device_put the NUMPY arrays: shards go host->device once
-            # each (jnp.asarray first would land everything on device 0,
-            # then reshard device-to-device)
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        from jegal_tpu.parallel.mesh import put_batch
 
-            args = [jax.device_put(a, NamedSharding(mesh, P("data")))
-                    for a in raw]
-        else:
-            args = [jnp.asarray(a) for a in raw]
+        args = put_batch((gest, cont, t_valid, w_valid, word_idx), mesh)
         p, s = jax.jit(_spot_batch_device, static_argnums=5)(*args, TEMP)
         p, s = np.asarray(p), np.asarray(s)
         for bi, i in enumerate(idxs):

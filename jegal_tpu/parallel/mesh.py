@@ -55,6 +55,23 @@ def data_sharded(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     return NamedSharding(mesh, P(*(("data",) + (None,) * (ndim - 1))))
 
 
+def put_batch(arrays, mesh: Mesh | None = None):
+    """Place host (numpy) batch arrays on device, leading axis sharded over
+    the mesh 'data' axis when a mesh is given.
+
+    device_put on the NUMPY array moves each 'data' shard host->device
+    exactly once; jnp.asarray first would land the whole batch on device 0
+    and then reshard device-to-device — double movement of the pipeline's
+    largest tensors. The single helper for every batched host->device
+    boundary (engine tower/forward batches, on-device evals)."""
+    import jax.numpy as jnp
+
+    if mesh is None:
+        return [jnp.asarray(a) for a in arrays]
+    spec = NamedSharding(mesh, P("data"))
+    return [jax.device_put(np.asarray(a), spec) for a in arrays]
+
+
 # ---------------------------------------------------------------------------
 # Parameter sharding rules (tensor parallelism)
 # ---------------------------------------------------------------------------

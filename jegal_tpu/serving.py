@@ -163,9 +163,29 @@ class _Batcher:
                             slot["error"] = e
                         ev.set()
                     continue
-                for (_, _, ev, slot), res in zip(group, results):
+                for (_, sample, ev, slot), res in zip(group, results):
+                    if res is None:
+                        # extract_many maps malformed batchmates to None
+                        # (batch-corpus contract); re-run the host-side
+                        # validation alone to classify: engine ClientError
+                        # -> 400, genuinely-invalid-under-reference-
+                        # semantics -> 422 (None result). Rare path, no
+                        # device work.
+                        try:
+                            self.engine._prepare_sample(
+                                mod, sample.get("visual_feats"),
+                                sample.get("text"),
+                                sample.get("word_boundaries"),
+                                sample.get("wav"))
+                        except ClientError as e:
+                            slot["error"] = e
                     slot["result"] = res
                     ev.set()
+            # all groups answered: drop the references so a burst's large
+            # sample arrays don't stay pinned while the worker idles in
+            # q.get() (placed after the group loop — clearing earlier would
+            # hide still-unanswered groups from the death backstop)
+            self._inflight = []
 
 
 def _make_handler(engine, lock: threading.Lock, batcher: _Batcher | None,
@@ -314,6 +334,14 @@ def serve(engine, host: str = "127.0.0.1", port: int = 8000,
           warmup_combos=(), batch_window_ms: float = 0.0,
           max_batch: int = 8, mesh=None,
           max_body_bytes: int = DEFAULT_MAX_BODY) -> None:
+    if mesh is not None and batch_window_ms <= 0:
+        # without a batching window every request runs engine.extract on
+        # unsharded batch-1 arrays: the mesh would only steer warmup into
+        # compiling sharded executables no live request ever runs —
+        # a silent no-op for --data_parallel. Fail loudly instead.
+        raise ValueError("data-parallel serving (mesh=...) requires "
+                         "batch_window_ms > 0 — requests run data-parallel "
+                         "only through the cross-request batcher")
     # warm the graphs the traffic will actually hit: the batcher dispatches
     # fixed max_batch batches via extract_many (with 'data'-sharded inputs
     # when a mesh is configured — jit executables are keyed by sharding,

@@ -271,3 +271,38 @@ def test_ta_word_count_mismatch_rejected(engine, rng):
         text="hello world",  # 2 words vs 3 boundary entries
         word_boundaries=SAMPLE["word_boundaries"])
     assert out is None
+
+
+def test_gestsync_front_door_dispatch(rng):
+    """engine.gestsync_features must route all three input layouts to the
+    same numerics: raw uint8 (T, 270, 480, 3) + chin rows, host-repacked
+    planar uint8 (T, 90, 27, 160), and the reference's pre-masked
+    edge-padded float (T+24, 270, 480, 3) layout (which once got silently
+    shadowed by the uint8 front door and returned T+24 untrimmed rows)."""
+    import jax
+
+    from jegal_tpu.host import media
+    from jegal_tpu.models import gestsync as G
+    from jegal_tpu.ops.video import mask_frames_device
+
+    eng = JegalEngine(jegal_params=J.init_params(jax.random.PRNGKey(0)),
+                      gestsync_params=G.init_params(jax.random.PRNGKey(1)))
+    t = 6
+    fr = rng.integers(0, 255, (t, 270, 480, 3)).astype(np.uint8)
+    chin = rng.integers(60, 200, (t,)).astype(np.int32)
+
+    raw = eng.gestsync_features(fr, chin)
+    assert raw.shape == (t, 1024)
+
+    planar = eng.gestsync_features(media.s2d_repack(fr, chin))
+    np.testing.assert_allclose(planar, raw, rtol=2e-5, atol=2e-5)
+
+    # reference layout: masked float frames, edge-padded +/-12
+    padded = np.asarray(mask_frames_device(jnp.asarray(fr),
+                                           jnp.asarray(chin)))
+    assert padded.shape == (t + 2 * G.EDGE_PAD, 270, 480, 3)
+    legacy = eng.gestsync_features(padded)
+    assert legacy.shape == (t, 1024)
+    np.testing.assert_allclose(legacy, raw, rtol=2e-5, atol=2e-5)
+    with pytest.raises(AssertionError):
+        eng.gestsync_features(padded, chin)  # pre-masked + chin = invalid

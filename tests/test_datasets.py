@@ -125,3 +125,28 @@ def test_extract_csv_error_ledger(engine, avs_dirs, tmp_path, capsys):
     stats = extract_embeddings_csv(engine, bad_csv, avs_dirs["vid"],
                                    avs_dirs["feat"], res, modalities="ta")
     assert stats["failed"] == 1 and stats["done"] == 3
+
+
+def test_extract_csv_client_error_row_isolated(engine, avs_dirs, tmp_path):
+    """A row whose data trips the engine's ClientError validation (reversed
+    word boundary) is ledgered/skipped without crashing the corpus run —
+    in BOTH the per-sample (batch_size=1) and batched driver paths."""
+    df = pd.read_csv(avs_dirs["csv"])
+    # one reversed (start > end) boundary trips the engine's ClientError
+    df.loc[1, "word_boundaries"] = str(
+        [["ab", 6, 2], ["hello", 7, 12], ["x", 13, 20]])
+    bad_csv = str(tmp_path / "rev.csv")
+    df.to_csv(bad_csv, index=False)
+
+    stats = extract_embeddings_csv(engine, bad_csv, avs_dirs["vid"],
+                                   avs_dirs["feat"],
+                                   str(tmp_path / "e_single"),
+                                   modalities="ta")
+    assert stats["done"] == 3 and stats["failed"] + stats["invalid"] == 1
+
+    stats_b = extract_embeddings_csv(engine, bad_csv, avs_dirs["vid"],
+                                     avs_dirs["feat"],
+                                     str(tmp_path / "e_batch"),
+                                     modalities="ta", batch_size=4)
+    assert stats_b["done"] == 3
+    assert stats_b["failed"] + stats_b["invalid"] == 1

@@ -65,3 +65,15 @@ def test_warmup_all_compiles_every_requested_combo(engine):
                    wav=wav, word_boundaries=[["w", 1, 6], ["x", 7, 12]])
     after = engine._combo_cache[(True, False, True)]._cache_size()
     assert after == before
+
+
+def test_serve_mesh_requires_batch_window():
+    """--data_parallel (mesh) without a batching window would warm sharded
+    graphs that no live request ever executes — serve() must refuse the
+    contradiction up front."""
+    import pytest
+
+    from jegal_tpu.serving import serve
+
+    with pytest.raises(ValueError, match="batch_window_ms"):
+        serve(object(), mesh=object(), batch_window_ms=0.0)

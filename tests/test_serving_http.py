@@ -292,17 +292,33 @@ def test_batcher_worker_death_does_not_hang():
         b.submit("ta", {"text": "y"})  # fail-fast, no enqueue-and-hang
 
 
-def test_internal_value_error_is_500(server_url):
-    """Only the engine's explicit ClientError maps to 400; an internal
-    ValueError (server bug) must surface as 500."""
-    # a malformed b64 .npy decodes fine but trips numpy inside the engine:
-    # easier to exercise via a visual_feats of the wrong rank
-    bad_feats = encode_array(np.zeros((4, 4, 4, 4), np.float32))
-    try:
-        _post(server_url, {"modalities": "v", "visual_feats": bad_feats})
-        raise AssertionError("expected HTTP 500")
-    except urllib.error.HTTPError as e:
-        assert e.code == 500
+def test_client_shaped_input_errors_are_400(server_url):
+    """Malformed client-supplied data — wrong-rank visual_feats, junk word
+    boundaries, empty text, sub-frame wav — is validated in the engine's
+    _prepare_sample and maps to 400 (ClientError), NOT to a 500 server
+    fault (monitoring must not count client garbage as server errors)."""
+    cases = [
+        {"modalities": "v",
+         "visual_feats": encode_array(np.zeros((4, 4, 4, 4), np.float32))},
+        {"modalities": "v",
+         "visual_feats": encode_array(np.zeros((4, 7), np.float32))},
+        {"modalities": "t", "text": "   "},
+        {"modalities": "a",
+         "wav": encode_array(np.zeros((8,), np.float32)),
+         "word_boundaries": [["w", 0, 1]]},
+        {"modalities": "a",
+         "wav": encode_array(np.zeros((16000,), np.float32)),
+         "word_boundaries": [["w", 9, 2]]},  # start > end
+        {"modalities": "a",
+         "wav": encode_array(np.zeros((16000,), np.float32)),
+         "word_boundaries": []},
+    ]
+    for payload in cases:
+        try:
+            _post(server_url, payload)
+            raise AssertionError(f"expected HTTP 400 for {payload}")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, (e.code, payload)
 
 
 def test_batch_ladder():
