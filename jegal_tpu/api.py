@@ -142,11 +142,16 @@ class JegalEngine:
         270, 480, 3) in [0, 1] (already face-masked AND edge-padded) ->
         gestsync_features_masked. Identical results."""
         if frames.shape[1:] == (90, 27, 160):
-            assert chin_rows is None, "planar input is already masked"
+            if chin_rows is not None:
+                # ClientError (not assert): survives python -O and maps to
+                # a 400, never a silently-ignored mask request
+                raise ClientError("planar input is already masked; "
+                                  "chin_rows must be None")
             return self.gestsync_features_from_planar(frames)
         if np.issubdtype(np.asarray(frames).dtype, np.floating):
-            assert chin_rows is None, \
-                "float frames are pre-masked; chin_rows must be None"
+            if chin_rows is not None:
+                raise ClientError("float frames are pre-masked and "
+                                  "edge-padded; chin_rows must be None")
             return self.gestsync_features_masked(frames)
         return self.gestsync_features_from_raw(frames, chin_rows)
 
@@ -560,7 +565,8 @@ class JegalEngine:
                                  word_boundaries, fname)
 
     def extract_many(self, samples: list[dict], modalities: str = "vta",
-                     batch_size: int = 8, mesh=None) -> list[dict | None]:
+                     batch_size: int = 8, mesh=None,
+                     ladder: bool = True) -> list[dict | None]:
         """Batched extraction: samples sharing a shape bucket run as one
         device batch (optionally sharded over the mesh 'data' axis — the
         pjit data-parallel path for v5e-8 batch sweeps).
@@ -571,6 +577,13 @@ class JegalEngine:
         through the cross-video batched GestSync tower first. Returns
         per-sample result dicts (None for invalid samples), numerically
         identical to per-sample extract (batch padding is exactly neutral).
+
+        ladder=True right-sizes straggler chunks to the pow-2 ladder
+        (less tail compute, <= log2 graphs per sig — the batch-corpus
+        default). ladder=False always pads to batch_size: ONE graph per
+        sig, for latency-bound callers that precompiled it (the serving
+        batcher warms exactly batch_size and must never compile a new
+        ladder size inside a live request).
         """
         use = ("v" in modalities, "t" in modalities, "a" in modalities)
         if use[0]:
@@ -616,7 +629,7 @@ class JegalEngine:
                 n = len(chunk)
                 # pow-2 ladder: a straggler chunk compiles/pays a right-sized
                 # graph (<= log2 graphs per (combo, sig)), not a full batch
-                b = _batch_ladder(n, batch_size)
+                b = _batch_ladder(n, batch_size) if ladder else batch_size
                 if mesh is not None:
                     d = mesh.shape.get("data", 1)
                     b = ((max(b, n) + d - 1) // d) * d  # divisible by 'data'

@@ -494,9 +494,17 @@ def _resolve_shard(args):
         # which would make pure HOST stages (preprocess, extract-kps,
         # transcribe) acquire the TPU and conflict with a device process
         # running alongside them on the same VM
-        from jax._src import distributed
+        try:
+            from jax._src import distributed
 
-        if getattr(distributed.global_state, "coordinator_address", None):
+            coord = getattr(distributed.global_state,
+                            "coordinator_address", None)
+        except (ImportError, AttributeError):
+            # private-module probe only; a jax upgrade that moves it must
+            # not break single-host CLI startup (explicit --rank/--nshard
+            # and the standalone 0/1 default both keep working)
+            coord = None
+        if coord:
             import jax
 
             if nshard is None:

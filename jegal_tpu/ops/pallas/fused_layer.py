@@ -145,17 +145,26 @@ def _attn_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
 
 
 def _ffn_kernel(x_ref, w1_ref, w2_ref, b1_ref, b2_ref, g_ref, b_ref, o_ref,
-                acc_ref, *, prenorm: bool, ln_kind: str, n_f: int):
+                acc_ref, h_ref, *, prenorm: bool, ln_kind: str, n_f: int):
     f = pl.program_id(1)
     dt = x_ref.dtype
-    x = x_ref[...].astype(jnp.float32)
-    g = g_ref[...].astype(jnp.float32)
-    b = b_ref[...].astype(jnp.float32)
-    h = _ln_f32(x, g, b, ln_kind) if prenorm else x
-    hc = h.astype(dt)
 
     _dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.DEFAULT)
+    if prenorm:
+        # the f axis streams W1/W2 blocks over the SAME rows: norm the
+        # block once at f == 0 into scratch instead of re-running the f32
+        # LayerNorm (two reductions + rsqrt over br x d) on every W block
+        @pl.when(f == 0)
+        def _():
+            h_ref[...] = _ln_f32(x_ref[...].astype(jnp.float32),
+                                 g_ref[...].astype(jnp.float32),
+                                 b_ref[...].astype(jnp.float32),
+                                 ln_kind).astype(dt)
+
+        hc = h_ref[...]
+    else:
+        hc = x_ref[...]  # post-norm: FFN reads the raw residual stream
     h1 = _dot(hc, w1_ref[...]) + b1_ref[...]
     h1 = jnp.maximum(h1, 0.0).astype(dt)
     part = _dot(h1, w2_ref[...])
@@ -170,9 +179,10 @@ def _ffn_kernel(x_ref, w1_ref, w2_ref, b1_ref, b2_ref, g_ref, b_ref, o_ref,
 
     @pl.when(f == n_f - 1)
     def _():
-        y = x + acc_ref[...] + b2_ref[...]
+        y = x_ref[...].astype(jnp.float32) + acc_ref[...] + b2_ref[...]
         if not prenorm:
-            y = _ln_f32(y, g, b, ln_kind)
+            y = _ln_f32(y, g_ref[...].astype(jnp.float32),
+                        b_ref[...].astype(jnp.float32), ln_kind)
         o_ref[...] = y.astype(dt)
 
 
@@ -240,7 +250,8 @@ def _ffn_sublayer(x, ff, norm, *, prenorm, ln_kind, br, interpret):
         ],
         out_specs=pl.BlockSpec((br, d), lambda i, f: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((rp, d), x.dtype),
-        scratch_shapes=[pltpu.VMEM((br, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((br, d), jnp.float32),
+                        pltpu.VMEM((br, d), x.dtype)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -239,7 +239,7 @@ def stem_mgrid_x(x, lhs, scale, bias, w_valid: int = 160,
                           w_v=w_valid, t_blk=t_blk),
         grid=(n_tb, n_j),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((M_DW, K_DIM), lambda tb, j: (0, 0)),
             pl.BlockSpec((64, 1), lambda tb, j: (0, 0)),
             pl.BlockSpec((64, 1), lambda tb, j: (0, 0)),
@@ -295,7 +295,7 @@ def stem_mgrid_planar(xp, lhs, scale, bias, dtype=jnp.bfloat16,
                           w_v=w_v, t_blk=t_blk, u8_in=True),
         grid=(n_tb, n_j),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((M_DW, K_DIM), lambda tb, j: (0, 0)),
             pl.BlockSpec((64, 1), lambda tb, j: (0, 0)),
             pl.BlockSpec((64, 1), lambda tb, j: (0, 0)),

@@ -149,7 +149,12 @@ class _Batcher:
                     with self.lock:  # one device: shared with /frames path
                         results = self.engine.extract_many(
                             [g[1] for g in group], modalities=mod,
-                            batch_size=self.max_batch, mesh=self.mesh)
+                            batch_size=self.max_batch, mesh=self.mesh,
+                            # every live dispatch pads to max_batch: the
+                            # ONE graph serve() warmed. The pow-2 ladder
+                            # would compile a fresh (combo, sig, b) graph
+                            # inside a request (1-4 min first hit)
+                            ladder=False)
                 except Exception:
                     # per-request isolation: one malformed batchmate must
                     # not fail the others — retry each sample alone and
@@ -207,14 +212,18 @@ def _make_handler(engine, lock: threading.Lock, batcher: _Batcher | None,
         def do_GET(self):
             if self.path != "/healthz":
                 return self._reply(404, {"error": "unknown path"})
+            ok = batcher is None or batcher.dead is None
             payload = {
-                "ok": batcher is None or batcher.dead is None,
+                "ok": ok,
                 "graphs": len(engine.cached_graphs),
             }
             if batcher is not None:
                 payload["queue_depth"] = batcher.q.qsize()
-                if batcher.dead is not None:
-                    payload["error"] = f"batcher worker died: {batcher.dead!r}"
+            if not ok:
+                # surface deadness at the HTTP level: load balancers and
+                # k8s probes key on the status code, not the body
+                payload["error"] = f"batcher worker died: {batcher.dead!r}"
+                return self._reply(503, payload)
             self._reply(200, payload)
 
         def do_POST(self):

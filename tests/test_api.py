@@ -304,5 +304,9 @@ def test_gestsync_front_door_dispatch(rng):
     legacy = eng.gestsync_features(padded)
     assert legacy.shape == (t, 1024)
     np.testing.assert_allclose(legacy, raw, rtol=2e-5, atol=2e-5)
-    with pytest.raises(AssertionError):
+    from jegal_tpu.api import ClientError
+
+    with pytest.raises(ClientError):
         eng.gestsync_features(padded, chin)  # pre-masked + chin = invalid
+    with pytest.raises(ClientError):  # planar + chin = invalid too
+        eng.gestsync_features(media.s2d_repack(fr, chin), chin)

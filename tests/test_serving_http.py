@@ -292,6 +292,65 @@ def test_batcher_worker_death_does_not_hang():
         b.submit("ta", {"text": "y"})  # fail-fast, no enqueue-and-hang
 
 
+def test_healthz_503_when_batcher_dead():
+    """A dead batcher must surface at the HTTP status level: LB/k8s probes
+    key on the code, not the JSON body."""
+    import threading as _t
+
+    from jegal_tpu.serving import _Batcher, create_server
+
+    class FakeEngine:
+        cached_graphs = []
+
+    b = _Batcher(FakeEngine(), window_ms=5, max_batch=2, lock=_t.Lock())
+    b.dead = RuntimeError("chip on fire")
+    srv = create_server(FakeEngine(), host="127.0.0.1", port=0)
+    # rebuild the handler with the dead batcher wired in
+    from jegal_tpu.serving import _make_handler
+
+    srv.RequestHandlerClass = _make_handler(
+        FakeEngine(), _t.Lock(), b, max_body_bytes=1 << 20)
+    import threading
+
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/healthz"
+        try:
+            urllib.request.urlopen(url)
+            raise AssertionError("expected HTTP 503")
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            body = json.loads(e.read())
+            assert body["ok"] is False and "died" in body["error"]
+    finally:
+        srv.shutdown()
+
+
+def test_batcher_dispatches_without_ladder():
+    """The batcher must pad every live dispatch to max_batch (the ONE
+    graph serve() warms) — a pow-2 ladder dispatch would compile a fresh
+    graph inside a request."""
+    import threading as _t
+
+    from jegal_tpu.serving import _Batcher
+
+    calls = []
+
+    class SpyEngine:
+        cached_graphs = []
+
+        def extract_many(self, samples, **kw):
+            calls.append(kw)
+            return [{"ok": True} for _ in samples]
+
+    b = _Batcher(SpyEngine(), window_ms=5, max_batch=4, lock=_t.Lock())
+    out = b.submit("t", {"text": "ab hello"})
+    assert out == {"ok": True}
+    assert calls and calls[0]["ladder"] is False
+    assert calls[0]["batch_size"] == 4
+
+
 def test_client_shaped_input_errors_are_400(server_url):
     """Malformed client-supplied data — wrong-rank visual_feats, junk word
     boundaries, empty text, sub-frame wav — is validated in the engine's
