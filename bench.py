@@ -47,6 +47,10 @@ def build(dtype, t_frames: int, rng, use_pallas: bool, planar: bool = False):
         k2, roberta_layers=XLMR_LAYERS, vocab=XLMR_VOCAB)
     jparams = jax.tree.map(lambda x: x.astype(dtype), jparams)
     rparams = jax.tree.map(lambda x: x.astype(dtype), rparams)
+    from jegal_tpu.models import roberta as R
+
+    rparams = R.stack_layers(rparams)  # scan layout + fused_ops (engine
+    #                                    parity: JegalEngine stacks at load)
 
     frames_np = rng.integers(0, 255, (t_frames, 270, 480, 3)).astype("uint8")
     chin_np = rng.integers(100, 140, (t_frames,)).astype("int32")
@@ -125,6 +129,10 @@ def build_batched(dtype, t_frames: int, batch: int, rng,
         k2, roberta_layers=XLMR_LAYERS, vocab=XLMR_VOCAB)
     jparams = jax.tree.map(lambda x: x.astype(dtype), jparams)
     rparams = jax.tree.map(lambda x: x.astype(dtype), rparams)
+    from jegal_tpu.models import roberta as R
+
+    rparams = R.stack_layers(rparams)  # scan layout + fused_ops (engine
+    #                                    parity: JegalEngine stacks at load)
 
     frames_np = rng.integers(0, 255, (batch, t_frames, 270, 480, 3)
                              ).astype("uint8")

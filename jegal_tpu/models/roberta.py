@@ -94,32 +94,94 @@ def stack_layers(params):
     runs the encoder as a lax.scan: ~2x faster XLA compiles of the 12-layer
     stack (3.7 -> 2.1 s measured on v5e — serving warm-start) and no
     per-call restacking. Layer math is identical; do the stacking ONCE at
-    load time (JegalEngine does)."""
-    return dict(params, layers=jax.tree.map(
-        lambda *ls: jnp.stack(ls), *params["layers"]))
+    load time (JegalEngine does).
+
+    Also precomputes `fused_ops` — the single-kernel stack's (L, ...)
+    operands (fused_layer._stacked_weights layout) — so the TPU fused path
+    never concatenates weights inside the jit (an in-graph restack of the
+    12-layer stack measured ~0.6 ms/call on v5e). Costs one extra copy of
+    the encoder weights in HBM (~170 MB bf16 for xlm-roberta-base)."""
+    from jegal_tpu.ops.pallas import fused_layer as FL
+
+    layer_list = params["layers"]
+    dt = layer_list[0]["q"]["kernel"].dtype
+    fused_ops = FL._stacked_weights([_fused_layout(l) for l in layer_list],
+                                    dt)
+    return dict(params,
+                layers=jax.tree.map(lambda *ls: jnp.stack(ls), *layer_list),
+                fused_ops=fused_ops)
 
 
-def forward(params, input_ids, attention_mask, cfg: RobertaConfig = XLMR_BASE):
+def _fused_layout(layer):
+    """Adapt one encoder layer's params to the fused-kernel layout
+    (ops/pallas/fused_layer expects {"attn": {q,k,v,o}, "ff": {w1,w2},
+    "norm1", "norm2"})."""
+    return {"attn": {"q": layer["q"], "k": layer["k"], "v": layer["v"],
+                     "o": layer["attn_out"]},
+            "ff": {"w1": layer["inter"], "w2": layer["out"]},
+            "norm1": layer["attn_ln"], "norm2": layer["out_ln"]}
+
+
+def forward(params, input_ids, attention_mask, cfg: RobertaConfig = XLMR_BASE,
+            fused: bool = True):
     """input_ids, attention_mask: (B, S) -> last_hidden_state (B, S, d).
 
     params["layers"]: either the converter's list-of-layers (python loop)
-    or the stacked (L, ...) pytree from `stack_layers` (lax.scan)."""
+    or the stacked (L, ...) pytree from `stack_layers` (lax.scan).
+
+    On TPU, when the sequence length tiles (fused_layer.fused_stack_ok),
+    the 12 layers run as fused Pallas sublayer kernels over the flattened
+    (B*S, d) rows — the encoder is otherwise ~15 small ops per layer at
+    S<=256 and is launch-overhead-bound. Backend chosen at lowering time;
+    the XLA path below stays the oracle and the autodiff/fallback path
+    (fused=False forces it — the kernels are inference-only)."""
     ext_mask = None
     if attention_mask is not None:
         ext_mask = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :]
         ext_mask = ext_mask * jnp.finfo(jnp.float32).min
     x = embeddings(params["embeddings"], input_ids, cfg)
     layers = params["layers"]
-    if isinstance(layers, (list, tuple)):
-        for layer in layers:
-            x = encoder_layer(layer, x, ext_mask, cfg)
+
+    def xla_path(x):
+        if isinstance(layers, (list, tuple)):
+            for layer in layers:
+                x = encoder_layer(layer, x, ext_mask, cfg)
+            return x
+
+        def body(x, layer):
+            return encoder_layer(layer, x, ext_mask, cfg), None
+
+        x, _ = jax.lax.scan(body, x, layers)
         return x
 
-    def body(x, layer):
-        return encoder_layer(layer, x, ext_mask, cfg), None
+    from jegal_tpu.ops.pallas import fused_layer as FL
 
-    x, _ = jax.lax.scan(body, x, layers)
-    return x
+    b, s, d = x.shape
+    if (fused and FL.enabled() and cfg.layer_norm_eps == 1e-5
+            and FL.fused_stack_ok(s, d, cfg.num_heads)):
+        # stack_layers precomputes fused_ops so nothing re-concatenates
+        # weights inside the jit; list-layout params (converter output,
+        # tests) stack in-graph — correct but ~0.6 ms/call slower
+        flayers = params.get("fused_ops")
+        if flayers is None:
+            if isinstance(layers, (list, tuple)):
+                flayers = [_fused_layout(l) for l in layers]
+            else:
+                flayers = [_fused_layout(jax.tree.map(lambda a: a[i],
+                                                      layers))
+                           for i in range(cfg.num_layers)]
+        km = (None if attention_mask is None
+              else attention_mask.reshape(-1).astype(jnp.float32))
+
+        def fused_path(x):
+            out = FL.fused_roberta_stack(flayers, x.reshape(b * s, d), s,
+                                         cfg.num_heads, kmask=km)
+            return out.reshape(b, s, d)
+
+        return jax.lax.platform_dependent(x, tpu=fused_path,
+                                          default=xla_path)
+
+    return xla_path(x)
 
 
 # ---------------------------------------------------------------------------

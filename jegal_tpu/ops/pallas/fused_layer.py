@@ -101,8 +101,8 @@ def _ln_f32(x, g, b, kind: str):
     return y * g + b
 
 
-def _attn_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
-                 bv_ref, bo_ref, g_ref, b_ref, segm_ref, km_ref, o_ref, *,
+def _attn_kernel(x_ref, wqkv_ref, wo_ref, bqkv_ref, bo_ref, g_ref, b_ref,
+                 segm_ref, km_ref, o_ref, *,
                  heads: int, prenorm: bool, ln_kind: str):
     dt = x_ref.dtype
     x = x_ref[...].astype(jnp.float32)
@@ -116,11 +116,15 @@ def _attn_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
     # emulation Mosaic rejects (same note as ops/pallas/stem.py:104-106)
     _dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.DEFAULT)
-    q = _dot(hc, wq_ref[...]) + bq_ref[...]
-    k = _dot(hc, wk_ref[...]) + bk_ref[...]
-    v = _dot(hc, wv_ref[...]) + bv_ref[...]
-
+    # q/k/v projections as ONE (d, 3d) dot (weights pre-concatenated by
+    # the wrapper): one MXU pipeline fill instead of three at these small
+    # row blocks; the d-wide slices below are lane-aligned views
     d = x.shape[-1]
+    qkv = _dot(hc, wqkv_ref[...]) + bqkv_ref[...]
+    q = qkv[:, :d]
+    k = qkv[:, d:2 * d]
+    v = qkv[:, 2 * d:]
+
     dk = d // heads
     scale = np.float32(1.0 / math.sqrt(dk))
     # 0/1 validity: same-segment AND key-valid (broadcast over query rows)
@@ -144,8 +148,31 @@ def _attn_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, bq_ref, bk_ref,
     o_ref[...] = y.astype(dt)
 
 
+def _erf_f32(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|abs err| <= 1.5e-7 — below f32
+    resolution of the GELU output): Mosaic has no erf primitive."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + np.float32(0.3275911) * a)
+    poly = t * (np.float32(0.254829592)
+                + t * (np.float32(-0.284496736)
+                       + t * (np.float32(1.421413741)
+                              + t * (np.float32(-1.453152027)
+                                     + t * np.float32(1.061405429)))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _act(h1, activation: str):
+    """FFN nonlinearity in f32. 'relu' (GestSync/JEGAL stacks) or 'gelu'
+    (exact erf form — HF BERT/XLM-R, hidden_act='gelu')."""
+    if activation == "gelu":
+        return h1 * 0.5 * (1.0 + _erf_f32(h1 * np.float32(2 ** -0.5)))
+    return jnp.maximum(h1, 0.0)
+
+
 def _ffn_kernel(x_ref, w1_ref, w2_ref, b1_ref, b2_ref, g_ref, b_ref, o_ref,
-                acc_ref, h_ref, *, prenorm: bool, ln_kind: str, n_f: int):
+                acc_ref, h_ref, *, prenorm: bool, ln_kind: str, n_f: int,
+                activation: str = "relu"):
     f = pl.program_id(1)
     dt = x_ref.dtype
 
@@ -166,7 +193,7 @@ def _ffn_kernel(x_ref, w1_ref, w2_ref, b1_ref, b2_ref, g_ref, b_ref, o_ref,
     else:
         hc = x_ref[...]  # post-norm: FFN reads the raw residual stream
     h1 = _dot(hc, w1_ref[...]) + b1_ref[...]
-    h1 = jnp.maximum(h1, 0.0).astype(dt)
+    h1 = _act(h1, activation).astype(dt)
     part = _dot(h1, w2_ref[...])
 
     @pl.when(f == 0)
@@ -191,22 +218,93 @@ def _row2(a, dtype=None):
     return a.reshape(1, -1).astype(dtype or a.dtype)
 
 
+def _stack_kernel(x_ref, wqkv_ref, wo_ref, w1_ref, w2_ref, bqkv_ref, bo_ref,
+                  b1_ref, b2_ref, g1_ref, be1_ref, g2_ref, be2_ref,
+                  segm_ref, km_ref, o_ref, xs_ref, *,
+                  heads: int, prenorm: bool, ln_kind: str, n_layers: int,
+                  activation: str):
+    """Whole encoder stack in ONE pallas_call: grid (row_blocks, L) with L
+    innermost; each grid step runs one full layer (attn + FFN sublayers) on
+    the row block held in VMEM scratch (f32) while Pallas streams the next
+    layer's weights from HBM. Cuts 2L kernel launches (and 2L HBM round
+    trips of the activations) to one launch whose weight DMA overlaps
+    compute — the encoder stacks here are launch-bound at their tiny row
+    counts (12L XLM-R at B=1,S=32: 1.4 ms as 24 sublayer calls)."""
+    l = pl.program_id(1)
+    dt = o_ref.dtype
+    d = xs_ref.shape[-1]
+    dk = d // heads
+    scale = np.float32(1.0 / math.sqrt(dk))
+
+    @pl.when(l == 0)
+    def _():
+        xs_ref[...] = x_ref[...].astype(jnp.float32)
+
+    _dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.DEFAULT)
+    allowed = segm_ref[...] * km_ref[0]
+
+    # --- attention sublayer ---
+    x = xs_ref[...]
+    g1 = g1_ref[0].astype(jnp.float32)
+    be1 = be1_ref[0].astype(jnp.float32)
+    h = _ln_f32(x, g1, be1, ln_kind) if prenorm else x
+    hc = h.astype(dt)
+    qkv = _dot(hc, wqkv_ref[0]) + bqkv_ref[0]
+    outs = []
+    for hh in range(heads):
+        sl = slice(hh * dk, (hh + 1) * dk)
+        qh = (qkv[:, sl] * scale).astype(dt)
+        kh = qkv[:, d + hh * dk:d + (hh + 1) * dk].astype(dt)
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+        s = jnp.where(allowed == 0, np.float32(-1e9), s)
+        p = jax.nn.softmax(s, axis=-1).astype(dt)
+        outs.append(_dot(p, qkv[:, 2 * d + hh * dk:2 * d + (hh + 1) * dk]
+                         .astype(dt)))
+    a = jnp.concatenate(outs, axis=1).astype(dt)
+    y = x + _dot(a, wo_ref[0]) + bo_ref[0]
+    if not prenorm:
+        y = _ln_f32(y, g1, be1, ln_kind)
+
+    # --- FFN sublayer ---
+    g2 = g2_ref[0].astype(jnp.float32)
+    be2 = be2_ref[0].astype(jnp.float32)
+    h = _ln_f32(y, g2, be2, ln_kind) if prenorm else y
+    h1 = _dot(h.astype(dt), w1_ref[0]) + b1_ref[0]
+    h1 = _act(h1, activation).astype(dt)
+    y = y + _dot(h1, w2_ref[0]) + b2_ref[0]
+    if not prenorm:
+        y = _ln_f32(y, g2, be2, ln_kind)
+    xs_ref[...] = y
+
+    @pl.when(l == n_layers - 1)
+    def _():
+        o_ref[...] = y.astype(dt)
+
+
 def _attn_sublayer(x, attn, norm, segm, kcols, *, heads, prenorm, ln_kind,
                    br, interpret):
     rp, d = x.shape
     grid = (rp // br,)
     const = lambda i: (0, 0)
-    wspec = pl.BlockSpec((d, d), const)
     bspec = pl.BlockSpec((1, d), const)
+    wqkv = jnp.concatenate([attn["q"]["kernel"], attn["k"]["kernel"],
+                            attn["v"]["kernel"]], axis=1).astype(x.dtype)
+    bqkv = jnp.concatenate([jnp.ravel(attn["q"]["bias"]),
+                            jnp.ravel(attn["k"]["bias"]),
+                            jnp.ravel(attn["v"]["bias"])])
     return pl.pallas_call(
         functools.partial(_attn_kernel, heads=heads, prenorm=prenorm,
                           ln_kind=ln_kind),
         grid=grid,
         in_specs=[
             pl.BlockSpec((br, d), lambda i: (i, 0)),
-            wspec, wspec, wspec, wspec,
-            bspec, bspec, bspec, bspec,
-            bspec, bspec,
+            pl.BlockSpec((d, 3 * d), const),
+            pl.BlockSpec((d, d), const),
+            pl.BlockSpec((1, 3 * d), const),
+            bspec, bspec, bspec,
             pl.BlockSpec((br, br), const),
             # kcols is laid out (n_blocks, 1, br): the leading grid axis
             # lets each block carry a full (1, br) trailing tile (Mosaic
@@ -218,18 +316,14 @@ def _attn_sublayer(x, attn, norm, segm, kcols, *, heads, prenorm, ln_kind,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(x, attn["q"]["kernel"].astype(x.dtype),
-      attn["k"]["kernel"].astype(x.dtype),
-      attn["v"]["kernel"].astype(x.dtype),
-      attn["o"]["kernel"].astype(x.dtype),
-      _row2(attn["q"]["bias"], jnp.float32),
-      _row2(attn["k"]["bias"], jnp.float32),
-      _row2(attn["v"]["bias"], jnp.float32),
+    )(x, wqkv, attn["o"]["kernel"].astype(x.dtype),
+      _row2(bqkv, jnp.float32),
       _row2(attn["o"]["bias"], jnp.float32),
       _row2(norm["scale"]), _row2(norm["bias"]), segm, kcols)
 
 
-def _ffn_sublayer(x, ff, norm, *, prenorm, ln_kind, br, interpret):
+def _ffn_sublayer(x, ff, norm, *, prenorm, ln_kind, br, interpret,
+                  activation="relu"):
     rp, d = x.shape
     dff = ff["w1"]["kernel"].shape[1]
     fb = min(_FF_BLOCK, dff)
@@ -239,7 +333,7 @@ def _ffn_sublayer(x, ff, norm, *, prenorm, ln_kind, br, interpret):
     bspec = pl.BlockSpec((1, d), const)
     return pl.pallas_call(
         functools.partial(_ffn_kernel, prenorm=prenorm, ln_kind=ln_kind,
-                          n_f=n_f),
+                          n_f=n_f, activation=activation),
         grid=(rp // br, n_f),
         in_specs=[
             pl.BlockSpec((br, d), lambda i, f: (i, 0)),
@@ -261,9 +355,86 @@ def _ffn_sublayer(x, ff, norm, *, prenorm, ln_kind, br, interpret):
       _row2(norm["scale"]), _row2(norm["bias"]))
 
 
+def _stacked_weights(layers, dt):
+    """Stack fused-layout layer dicts into per-array (L, ...) operands for
+    the single-kernel stack (weights in compute dtype, biases/norms f32)."""
+    def st(f, cast=None):
+        arrs = [jnp.asarray(f(l)).astype(cast or dt) for l in layers]
+        out = jnp.stack(arrs)
+        # 1-D per-layer vectors (biases, norm params) carry a singleton
+        # middle dim: Mosaic block shapes need the 2nd-to-last dim to tile
+        # (block (1, 1, w) == array dims (1, w) per layer)
+        return out[:, None] if out.ndim == 2 else out
+
+    return dict(
+        wqkv=st(lambda l: jnp.concatenate(
+            [l["attn"]["q"]["kernel"], l["attn"]["k"]["kernel"],
+             l["attn"]["v"]["kernel"]], axis=1)),
+        wo=st(lambda l: l["attn"]["o"]["kernel"]),
+        w1=st(lambda l: l["ff"]["w1"]["kernel"]),
+        w2=st(lambda l: l["ff"]["w2"]["kernel"]),
+        bqkv=st(lambda l: jnp.concatenate(
+            [jnp.ravel(l["attn"]["q"]["bias"]),
+             jnp.ravel(l["attn"]["k"]["bias"]),
+             jnp.ravel(l["attn"]["v"]["bias"])]), jnp.float32),
+        bo=st(lambda l: jnp.ravel(l["attn"]["o"]["bias"]), jnp.float32),
+        b1=st(lambda l: jnp.ravel(l["ff"]["b1"] if "b1" in l["ff"]
+                                  else l["ff"]["w1"]["bias"]), jnp.float32),
+        b2=st(lambda l: jnp.ravel(l["ff"]["b2"] if "b2" in l["ff"]
+                                  else l["ff"]["w2"]["bias"]), jnp.float32),
+        g1=st(lambda l: l["norm1"]["scale"], jnp.float32),
+        be1=st(lambda l: l["norm1"]["bias"], jnp.float32),
+        g2=st(lambda l: l["norm2"]["scale"], jnp.float32),
+        be2=st(lambda l: l["norm2"]["bias"], jnp.float32),
+    )
+
+
+def _stack_single(w, x, segm, kcols, *, heads, prenorm, ln_kind,
+                  br, activation, interpret):
+    """One pallas_call for the whole stack: grid (row_blocks, L). `w` is
+    the _stacked_weights dict — pass a PRE-stacked one (roberta
+    stack_layers' fused_ops) to keep the concat out of the jit graph."""
+    rp, d = x.shape
+    n_l = w["wqkv"].shape[0]
+    dff = w["w1"].shape[-1]
+    row = lambda i, l: (i, 0)
+    lay3 = lambda i, l: (l, 0, 0)
+    return pl.pallas_call(
+        functools.partial(_stack_kernel, heads=heads, prenorm=prenorm,
+                          ln_kind=ln_kind, n_layers=n_l,
+                          activation=activation),
+        grid=(rp // br, n_l),
+        in_specs=[
+            pl.BlockSpec((br, d), row),
+            pl.BlockSpec((1, d, 3 * d), lay3),
+            pl.BlockSpec((1, d, d), lay3),
+            pl.BlockSpec((1, d, dff), lay3),
+            pl.BlockSpec((1, dff, d), lay3),
+            pl.BlockSpec((1, 1, 3 * d), lay3),
+            pl.BlockSpec((1, 1, d), lay3),
+            pl.BlockSpec((1, 1, dff), lay3),
+            pl.BlockSpec((1, 1, d), lay3),
+            pl.BlockSpec((1, 1, d), lay3),
+            pl.BlockSpec((1, 1, d), lay3),
+            pl.BlockSpec((1, 1, d), lay3),
+            pl.BlockSpec((1, 1, d), lay3),
+            pl.BlockSpec((br, br), lambda i, l: (0, 0)),
+            pl.BlockSpec((1, 1, br), lambda i, l: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((br, d), row),
+        out_shape=jax.ShapeDtypeStruct((rp, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((br, d), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x, w["wqkv"], w["wo"], w["w1"], w["w2"], w["bqkv"], w["bo"],
+      w["b1"], w["b2"], w["g1"], w["be1"], w["g2"], w["be2"], segm, kcols)
+
+
 def fused_encoder_stack(layers, x, seg: int, num_heads: int, *,
                         prenorm: bool, ln_kind: str, kmask=None,
-                        interpret: bool = False):
+                        interpret: bool = False, activation: str = "relu",
+                        single_kernel: bool = False):
     """Run a whole encoder stack over flattened segment rows.
 
     layers: list of layer pytrees ({"attn": {q,k,v,o}, "ff": {w1,w2},
@@ -279,7 +450,13 @@ def fused_encoder_stack(layers, x, seg: int, num_heads: int, *,
     """
     r, d = x.shape
     assert r % seg == 0, (r, seg)
+    # don't let the block outgrow the input: a B=1 S=32 text forward would
+    # otherwise pad its 32 rows to one 336-target block (10x dead compute
+    # in every dot and score matrix). Only when the shrunken block still
+    # tiles sublanes (%8) — 21-token windows must keep the 336 packing.
     br = block_rows(seg)
+    if r < br and r % 8 == 0:
+        br = r
     rp = -(-r // br) * br
     if rp != r:
         x = jnp.pad(x, ((0, rp - r), (0, 0)))
@@ -295,12 +472,22 @@ def fused_encoder_stack(layers, x, seg: int, num_heads: int, *,
             kcols = jnp.pad(kcols, (0, rp - r), constant_values=1.0)
         kcols = kcols.reshape(rp // br, 1, br)
 
+    if single_kernel or isinstance(layers, dict):
+        # a pre-stacked operand dict (roberta fused_ops) only has the
+        # single-kernel representation
+        w = (layers if isinstance(layers, dict)
+             else _stacked_weights(layers, x.dtype))
+        x = _stack_single(w, x, segm, kcols, heads=num_heads,
+                          prenorm=prenorm, ln_kind=ln_kind, br=br,
+                          activation=activation, interpret=interpret)
+        return x[:r]
     for layer in layers:
         x = _attn_sublayer(x, layer["attn"], layer["norm1"], segm, kcols,
                            heads=num_heads, prenorm=prenorm,
                            ln_kind=ln_kind, br=br, interpret=interpret)
         x = _ffn_sublayer(x, layer["ff"], layer["norm2"], prenorm=prenorm,
-                          ln_kind=ln_kind, br=br, interpret=interpret)
+                          ln_kind=ln_kind, br=br, interpret=interpret,
+                          activation=activation)
     return x[:r]
 
 
@@ -322,3 +509,17 @@ def fused_prenorm_stack(stack, x, seg: int, num_heads: int, kmask=None,
     return fused_encoder_stack(stack["layers"], x, seg, num_heads,
                                prenorm=True, ln_kind="ref", kmask=kmask,
                                interpret=interpret)
+
+
+def fused_roberta_stack(layers, x, seg: int, num_heads: int, kmask=None,
+                        interpret: bool = False):
+    """BERT/XLM-R encoder layers (post-norm, std LN eps 1e-5, exact-GELU
+    FFN) over (R, d) rows of contiguous `seg`-token sequences. `layers` are
+    fused-layout dicts (models/roberta._fused_layout). Masking note: the
+    kernel FILLS masked scores with -1e9 where HF ADDS finfo.min — after
+    the softmax's max-subtraction both underflow to exactly 0, so outputs
+    match HF (models/roberta.py:14-17) for every valid query row. Oracle:
+    models/roberta.encoder_layer."""
+    return fused_encoder_stack(layers, x, seg, num_heads,
+                               prenorm=False, ln_kind="std", kmask=kmask,
+                               interpret=interpret, activation="gelu")

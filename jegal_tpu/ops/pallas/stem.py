@@ -256,6 +256,8 @@ def stem_mgrid_x(x, lhs, scale, bias, w_valid: int = 160,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(x, lhs.astype(x.dtype), scale, bias)
     return out[:t_out]
 
@@ -312,6 +314,8 @@ def stem_mgrid_planar(xp, lhs, scale, bias, dtype=jnp.bfloat16,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xp, lhs, scale, bias)
     return out[:t_out]
 

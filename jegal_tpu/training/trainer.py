@@ -59,7 +59,7 @@ def video_level_embeddings(params, roberta_params, batch, roberta_cfg,
     gesture_vid = masked_mean(g, batch["visual_mask"])
 
     hidden = R.forward(roberta_params, batch["input_ids"], batch["text_mask"],
-                       roberta_cfg)
+                       roberta_cfg, fused=False)
     hidden = jax.lax.stop_gradient(hidden)  # frozen backbone
     sub = J.forward_text(params, hidden, batch["text_mask"], fused=False)
     text_words = pool_words(batch["text_pool"], sub) * drop_gates[1]

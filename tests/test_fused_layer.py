@@ -104,3 +104,90 @@ def test_window_head_fused_wiring(rng):
     out = G._window_head_fused(params, wins, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_roberta_stack_parity(rng):
+    """fused_roberta_stack (post-norm, std LN, exact GELU) == the XLM-R
+    XLA oracle (models/roberta.encoder_layer), with a padded batch: the
+    kernel's -1e9 score fill must match HF's additive finfo.min mask."""
+    from jegal_tpu.models import roberta as R
+
+    cfg = R.RobertaConfig(vocab_size=64, hidden_size=768, num_layers=2,
+                          num_heads=12, intermediate_size=3072,
+                          max_position_embeddings=64)
+    import torch
+    from transformers import XLMRobertaConfig, XLMRobertaModel
+
+    torch.manual_seed(11)
+    hf = XLMRobertaModel(XLMRobertaConfig(
+        vocab_size=64, hidden_size=768, num_hidden_layers=2,
+        num_attention_heads=12, intermediate_size=3072,
+        max_position_embeddings=64, pad_token_id=1)).eval()
+    params = R.params_from_hf(hf.state_dict(), cfg)
+
+    b, s, d = 2, 32, 768
+    x = jnp.asarray(rng.standard_normal((b, s, d)) * 0.1, jnp.float32)
+    mask = jnp.asarray([[1.0] * s, [1.0] * 20 + [0.0] * (s - 20)],
+                       jnp.float32)
+    ext = (1.0 - mask)[:, None, None, :] * jnp.finfo(jnp.float32).min
+
+    ref = x
+    for layer in params["layers"]:
+        ref = R.encoder_layer(layer, ref, ext, cfg)
+
+    flayers = [R._fused_layout(l) for l in params["layers"]]
+    out = F.fused_roberta_stack(
+        flayers, x.reshape(b * s, d), s, cfg.num_heads,
+        kmask=mask.reshape(-1), interpret=True).reshape(b, s, d)
+    # compare only valid rows (masked-out key rows produce garbage queries
+    # in both paths under HF semantics, but HF still computes them; fused
+    # fills their keys; valid-query rows must agree)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(out[1, :20]),
+                               np.asarray(ref[1, :20]),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_roberta_forward_fused_wiring(rng):
+    """models/roberta.forward takes the fused path (interpret-forced via
+    monkeypatched platform_dependent is overkill — instead call the fused
+    branch pieces directly) and equals the XLA path end-to-end."""
+    from jegal_tpu.models import roberta as R
+
+    import torch
+    from transformers import XLMRobertaConfig, XLMRobertaModel
+
+    cfg = R.RobertaConfig(vocab_size=64, hidden_size=768, num_layers=1,
+                          num_heads=12, intermediate_size=3072,
+                          max_position_embeddings=64)
+    torch.manual_seed(12)
+    hf = XLMRobertaModel(XLMRobertaConfig(
+        vocab_size=64, hidden_size=768, num_hidden_layers=1,
+        num_attention_heads=12, intermediate_size=3072,
+        max_position_embeddings=64, pad_token_id=1)).eval()
+    params = R.params_from_hf(hf.state_dict(), cfg)
+
+    ids = jnp.asarray(rng.integers(2, 64, (2, 32)), jnp.int32)
+    mask = jnp.ones((2, 32), jnp.float32)
+
+    ref = R.forward(params, ids, mask, cfg, fused=False)
+    x = R.embeddings(params["embeddings"], ids, cfg)
+    b, s, d = x.shape
+    flayers = [R._fused_layout(l) for l in params["layers"]]
+    out = F.fused_roberta_stack(flayers, x.reshape(b * s, d), s,
+                                cfg.num_heads,
+                                kmask=mask.reshape(-1).astype(jnp.float32),
+                                interpret=True).reshape(b, s, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
+
+    # HF torch oracle: the whole jax path (embeddings + fused stack) must
+    # match transformers' own last_hidden_state
+    with torch.no_grad():
+        th = hf(input_ids=torch.tensor(np.asarray(ids)),
+                attention_mask=torch.ones((2, 32), dtype=torch.long)
+                ).last_hidden_state.numpy()
+    cos = (np.asarray(out).reshape(-1) @ th.reshape(-1)) / (
+        np.linalg.norm(out) * np.linalg.norm(th))
+    assert cos > 1 - 1e-5, cos

@@ -64,3 +64,36 @@ def test_prenorm_stack_chip_bf16():
         m = np.asarray(kmask, bool)
         cos = _cos_rows(np.asarray(ref)[m], np.asarray(out)[m])
         assert cos.min() > 1 - 1e-3, (d, t, cos.min())
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="needs a TPU backend")
+def test_roberta_fused_stack_chip_bf16():
+    """Fused single-kernel XLM-R stack == the XLA scan path on chip at
+    production width (12L, d=768, gelu), bf16, with a padded batch."""
+    import numpy as np
+
+    from jegal_tpu.models import roberta as R
+
+    rng = np.random.default_rng(3)
+    cfg = R.RobertaConfig(vocab_size=512, hidden_size=768, num_layers=12,
+                          num_heads=12, intermediate_size=3072,
+                          max_position_embeddings=64)
+    import __graft_entry__ as E
+
+    _, rparams, _ = E._models(jax.random.PRNGKey(5), roberta_layers=12,
+                              vocab=512, max_pos=64)
+    rparams = jax.tree.map(lambda x: x.astype(jnp.bfloat16), rparams)
+    rparams = R.stack_layers(rparams)
+
+    ids = jnp.asarray(rng.integers(2, 512, (2, 32)), jnp.int32)
+    mask = jnp.asarray(np.stack([np.ones(32),
+                                 np.r_[np.ones(20), np.zeros(12)]]),
+                       jnp.float32)
+    ref = jax.jit(lambda p, i, m: R.forward(p, i, m, cfg, fused=False))(
+        rparams, ids, mask)
+    out = jax.jit(lambda p, i, m: R.forward(p, i, m, cfg))(
+        rparams, ids, mask)
+    c0 = _cos_rows(ref[0], out[0]).min()
+    c1 = _cos_rows(ref[1, :20], out[1, :20]).min()
+    assert min(c0, c1) > 1 - 1e-3, (c0, c1)
