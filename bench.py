@@ -201,11 +201,19 @@ def bench_train_step(dtype, rng, batch_size: int, t_frames: int,
 
 
 def main():
+    import sys
+
     from jegal_tpu.cli.main import setup_compilation_cache
 
     setup_compilation_cache()
     rng = np.random.default_rng(0)
     t_video = 125  # 5 s @ 25 fps
+
+    t_start = time.perf_counter()
+
+    def stage(name):
+        print(f"[bench] {name} @ {time.perf_counter() - t_start:.0f}s",
+              file=sys.stderr, flush=True)
 
     # --- accelerator run (bf16, real chip, Pallas stem). planar=True is
     # the production graph: the extract-feats driver repacks+masks frames
@@ -220,8 +228,10 @@ def main():
                      planar=True)
     sec_per_video = timed(fn, args, iters, device=accel)
     vps = 1.0 / sec_per_video
+    stage("single-clip planar graph")
     fn_r, args_r = build(jnp.bfloat16, t_video, rng, use_pallas=True)
     raw_vps = 1.0 / timed(fn_r, args_r, iters, device=accel)
+    stage("single-clip raw-frames graph")
 
     # --- batched throughput (same workload, 8 clips per dispatch) ---
     bsz = 8
@@ -229,15 +239,16 @@ def main():
                                  planar=True)
     sec_batch = timed(fn_b, args_b, max(2, iters // 2), device=accel)
     batch_vps = bsz / sec_batch
+    stage("batched graph")
 
     # --- training throughput (VERDICT r2 item 5) ---
     train_sps = bench_train_step(jnp.bfloat16, rng, batch_size=8,
                                  t_frames=t_video)
+    stage("train step")
 
     # --- driver-level throughput: real .avi decode -> batched tower -> .npy
     # through the actual extract-feats code path (VERDICT r2 item 5) ---
     import contextlib
-    import sys
 
     import benchmarks.driver_bench as DB
 
@@ -245,6 +256,7 @@ def main():
         driver_rows = DB.main(12)
     driver = {f"driver_bs{r['batch_size']}_videos_per_sec": r["value"]
               for r in driver_rows}
+    stage("driver bench")
 
     # --- CPU baseline: the SAME T=125 pipeline measured directly on the
     # host CPU backend (one full run; the r2 extrapolation from T=25 is
@@ -253,6 +265,7 @@ def main():
     fn_c, args_c = build(jnp.float32, t_video, rng, use_pallas=False)
     cpu_sec_per_video = timed(fn_c, args_c, 1, device=cpu, reps=1)
     cpu_vps = 1.0 / cpu_sec_per_video
+    stage("cpu baseline")
 
     print(json.dumps({
         "metric": "vta embedding extraction throughput (5s 25fps clips, "
