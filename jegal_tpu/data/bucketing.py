@@ -38,7 +38,10 @@ def pow2_bucket(n: int, floor: int = 1, cap: int | None = None) -> int:
 
 
 def pad_axis(arr, axis: int, target: int, value=0.0):
-    """Zero-pad `arr` along `axis` up to `target` length (numpy or jax)."""
+    """Zero-pad `arr` along `axis` up to `target` length. jax arrays pad ON
+    DEVICE (jnp.pad) — np.asarray here would silently fetch device-resident
+    features to host, re-introducing the device->host->device round trip the
+    engine's on-device feature path exists to avoid."""
     import numpy as np
 
     cur = arr.shape[axis]
@@ -48,4 +51,10 @@ def pad_axis(arr, axis: int, target: int, value=0.0):
         raise ValueError(f"axis {axis} length {cur} exceeds bucket {target}")
     widths = [(0, 0)] * arr.ndim
     widths[axis] = (0, target - cur)
+    import jax
+
+    if isinstance(arr, jax.Array):
+        import jax.numpy as jnp
+
+        return jnp.pad(arr, widths, constant_values=value)
     return np.pad(np.asarray(arr), widths, constant_values=value)

@@ -240,12 +240,20 @@ def forward_validation(
     audio_valid=None,
     roberta_cfg=None,
     fusion_strategy: str = "concat",
+    fused: bool = True,
 ):
     """Validation forward (reference models/jegal.py:330-375): like
     forward_inference but WITHOUT the align heads — the representation the
     training loss sees. Visual branch is always on; text/audio optional with
-    zeros substitution."""
-    gesture = forward_gestures(params, visual_feats, visual_mask)
+    zeros substitution.
+
+    fused=True (default): the encoder stacks ride the fused Pallas sublayer
+    kernels on TPU — validation runs under no-grad, so the kernels'
+    inference-only (no-VJP) restriction does not apply; only the LOSS
+    forward must pass fused=False (training/trainer.py:55-64). Measured at
+    b=8/T=125 full-width on chip: see docs/ARCHITECTURE.md r4 ledger."""
+    gesture = forward_gestures(params, visual_feats, visual_mask,
+                               fused=fused)
 
     text_words = audio_words = None
     if use_t:
@@ -253,7 +261,8 @@ def forward_validation(
 
         cfg = roberta_cfg or R.XLMR_BASE
         hidden = R.forward(roberta_params, input_ids, text_mask, cfg)
-        text_words = pool_words(text_pool, forward_text(params, hidden, text_mask))
+        text_words = pool_words(
+            text_pool, forward_text(params, hidden, text_mask, fused=fused))
     if use_a:
         audio_words = pool_words(
             audio_pool, forward_audio(params, audio_mel, audio_valid))

@@ -23,6 +23,13 @@ Wire protocol (JSON; arrays as base64-encoded .npy):
 
 422 mirrors the engine's None result (sample invalid under reference
 rules) so clients can distinguish bad samples from server faults.
+
+Large payloads (raw frames) should use the BINARY protocol instead:
+POST /extract with `Content-Type: application/octet-stream` and an
+encode_binary()-framed body (JSON header + uncompressed npz — no base64
+inflation, no monolithic json.loads); add `Accept:
+application/octet-stream` for a binary response. See encode_binary/
+decode_binary below and docs/DEPLOYMENT.md.
 """
 
 from __future__ import annotations
@@ -53,6 +60,58 @@ def decode_array(b64: str | None):
     if b64 is None:
         return None
     return np.load(io.BytesIO(base64.b64decode(b64)), allow_pickle=False)
+
+
+# ---------------------------------------------------------------------------
+# Binary wire protocol (Content-Type: application/octet-stream)
+#
+# Raw-frames requests as base64-in-JSON are ~1.33x the array bytes AND must
+# be json.loads'ed in one gulp (65 MB per 125-frame request); the binary
+# framing below ships arrays as an UNCOMPRESSED npz (a straight memcpy on
+# both ends) with a small JSON header for the scalar fields:
+#
+#   b"JGL1" | uint32_be header_len | header JSON | npz(arrays)
+#
+# header: {"modalities", "text", "word_boundaries", "fname"}; npz arrays
+# among {"visual_feats", "frames", "wav"}. Responses use the same framing
+# (header {"info": ...}; arrays among {"gesture_emb", "content_emb"}) when
+# the client sends `Accept: application/octet-stream`.
+# ---------------------------------------------------------------------------
+
+BINARY_MAGIC = b"JGL1"
+BINARY_CONTENT_TYPE = "application/octet-stream"
+
+
+def encode_binary(meta: dict, arrays: dict) -> bytes:
+    """Frame a request/response: JSON-able meta + numpy arrays."""
+    hdr = json.dumps(meta).encode()
+    buf = io.BytesIO()
+    present = {k: np.asarray(v) for k, v in arrays.items() if v is not None}
+    if present:
+        np.savez(buf, **present)  # ZIP_STORED: no compression pass
+    return BINARY_MAGIC + len(hdr).to_bytes(4, "big") + hdr + buf.getvalue()
+
+
+def decode_binary(body: bytes) -> tuple[dict, dict]:
+    """-> (meta dict, arrays dict). Raises ValueError on malformed framing
+    (the handler maps it to HTTP 400)."""
+    if body[:4] != BINARY_MAGIC:
+        raise ValueError(f"bad magic {body[:4]!r} (expected "
+                         f"{BINARY_MAGIC.decode()} framing)")
+    if len(body) < 8:
+        raise ValueError("truncated header length")
+    n = int.from_bytes(body[4:8], "big")
+    if 8 + n > len(body):
+        raise ValueError(f"header length {n} exceeds body")
+    meta = json.loads(body[8 : 8 + n])
+    if not isinstance(meta, dict):
+        raise ValueError("header must be a JSON object")
+    rest = body[8 + n :]
+    arrays: dict = {}
+    if rest:
+        with np.load(io.BytesIO(rest), allow_pickle=False) as z:
+            arrays = {k: z[k] for k in z.files}
+    return meta, arrays
 
 
 class _Batcher:
@@ -175,13 +234,21 @@ class _Batcher:
                         # validation alone to classify: engine ClientError
                         # -> 400, genuinely-invalid-under-reference-
                         # semantics -> 422 (None result). Rare path, no
-                        # device work.
+                        # device work. Frames-carrying samples validate
+                        # the frames shape, then the content modalities —
+                        # 'v' is satisfied by the frames themselves.
                         try:
-                            self.engine._prepare_sample(
-                                mod, sample.get("visual_feats"),
-                                sample.get("text"),
-                                sample.get("word_boundaries"),
-                                sample.get("wav"))
+                            check_mod, vf = mod, sample.get("visual_feats")
+                            if sample.get("frames") is not None:
+                                self.engine._frames_kind(
+                                    np.asarray(sample["frames"]))
+                                check_mod, vf = mod.replace("v", ""), None
+                            if check_mod:
+                                self.engine._prepare_sample(
+                                    check_mod, vf,
+                                    sample.get("text"),
+                                    sample.get("word_boundaries"),
+                                    sample.get("wav"))
                         except ClientError as e:
                             slot["error"] = e
                     slot["result"] = res
@@ -209,6 +276,16 @@ def _make_handler(engine, lock: threading.Lock, batcher: _Batcher | None,
             self.end_headers()
             self.wfile.write(body)
 
+        def _reply_binary(self, out: dict):
+            body = encode_binary({"info": out["info"]},
+                                 {"gesture_emb": out["gesture_emb"],
+                                  "content_emb": out["content_emb"]})
+            self.send_response(200)
+            self.send_header("Content-Type", BINARY_CONTENT_TYPE)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
             if self.path != "/healthz":
                 return self._reply(404, {"error": "unknown path"})
@@ -229,22 +306,33 @@ def _make_handler(engine, lock: threading.Lock, batcher: _Batcher | None,
         def do_POST(self):
             if self.path != "/extract":
                 return self._reply(404, {"error": "unknown path"})
+            binary = ((self.headers.get("Content-Type") or "")
+                      .split(";")[0].strip() == BINARY_CONTENT_TYPE)
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 if n > max_body_bytes:
                     return self._reply(413, {
                         "error": f"request body {n} bytes exceeds the "
                                  f"{max_body_bytes}-byte limit"})
-                req = json.loads(self.rfile.read(n))
-            except (ValueError, json.JSONDecodeError) as e:
+                body = self.rfile.read(n)
+                if binary:
+                    req, bin_arrays = decode_binary(body)
+                else:
+                    req = json.loads(body)
+            except (ValueError, json.JSONDecodeError, KeyError) as e:
                 return self._reply(400, {"error": f"bad request: {e}"})
             if not isinstance(req, dict):
                 return self._reply(400, {"error": "body must be a JSON "
                                                   "object"})
             try:
-                visual_feats = decode_array(req.get("visual_feats"))
-                frames = decode_array(req.get("frames"))
-                wav = decode_array(req.get("wav"))
+                if binary:
+                    visual_feats = bin_arrays.get("visual_feats")
+                    frames = bin_arrays.get("frames")
+                    wav = bin_arrays.get("wav")
+                else:
+                    visual_feats = decode_array(req.get("visual_feats"))
+                    frames = decode_array(req.get("frames"))
+                    wav = decode_array(req.get("wav"))
             except (ValueError, OSError, TypeError) as e:
                 return self._reply(400, {"error": f"bad array: {e}"})
             modalities = req.get("modalities", "vta")
@@ -253,8 +341,11 @@ def _make_handler(engine, lock: threading.Lock, batcher: _Batcher | None,
                     # repack+mask into the stem layout in C++ on THIS
                     # request thread (outside the device lock; the
                     # fallback cut matches from_raw(chin=None) semantics —
-                    # bit-identical, tested), then run the lighter planar
-                    # device graph under the lock
+                    # bit-identical, tested); the device work then runs as
+                    # ONE fused dispatch (tower + JEGAL forward) inside
+                    # engine.extract / the batcher's extract_many —
+                    # features never leave the device between stages
+                    # (VERDICT r3 item 1)
                     frames = np.asarray(frames, np.uint8)
                     # validate BEFORE the native repack: malformed client
                     # shapes must surface as 400 (ClientError), not as a
@@ -275,9 +366,7 @@ def _make_handler(engine, lock: threading.Lock, batcher: _Batcher | None,
                                 frames, np.full((frames.shape[0],),
                                                 FALLBACK_ROWS, np.int32))
                         except (OSError, subprocess.CalledProcessError):
-                            pass  # no native lib: raw-frames path below
-                    with lock:
-                        visual_feats = engine.gestsync_features(frames)
+                            pass  # no native lib: raw-frames fused graph
                 sample = dict(
                     visual_feats=visual_feats,
                     text=req.get("text"),
@@ -286,6 +375,8 @@ def _make_handler(engine, lock: threading.Lock, batcher: _Batcher | None,
                     else np.asarray(wav, np.float32),
                     fname=req.get("fname"),
                 )
+                if visual_feats is None and frames is not None:
+                    sample["frames"] = frames
                 if batcher is not None:
                     out = batcher.submit(modalities, sample)
                 else:
@@ -304,6 +395,8 @@ def _make_handler(engine, lock: threading.Lock, batcher: _Batcher | None,
                 return self._reply(422, {
                     "error": "sample rejected (invalid words/tokenization "
                              "under reference rules)"})
+            if BINARY_CONTENT_TYPE in (self.headers.get("Accept") or ""):
+                return self._reply_binary(out)
             self._reply(200, {
                 "gesture_emb": encode_array(out["gesture_emb"]),
                 "content_emb": encode_array(out["content_emb"]),
@@ -341,8 +434,9 @@ def create_server(engine, host: str = "127.0.0.1", port: int = 8000,
 
 def serve(engine, host: str = "127.0.0.1", port: int = 8000,
           warmup_combos=(), batch_window_ms: float = 0.0,
-          max_batch: int = 8, mesh=None,
-          max_body_bytes: int = DEFAULT_MAX_BODY) -> None:
+          max_batch: int = 16, mesh=None,
+          max_body_bytes: int = DEFAULT_MAX_BODY,
+          warmup_frames: str | None = None) -> None:
     if mesh is not None and batch_window_ms <= 0:
         # without a batching window every request runs engine.extract on
         # unsharded batch-1 arrays: the mesh would only steer warmup into
@@ -359,6 +453,13 @@ def serve(engine, host: str = "127.0.0.1", port: int = 8000,
     warm_batch = max_batch if batch_window_ms > 0 else 1
     for combo in warmup_combos:
         engine.warmup(modalities=combo, batch=warm_batch, mesh=mesh)
+        if warmup_frames and "v" in combo:
+            # frames traffic runs the FUSED tower+forward graph — a
+            # different executable from the two-stage forward; warm it for
+            # the kind the deployment expects ('planar' when clients or a
+            # fronting decoder repack in C++, 'raw' for RGB uint8)
+            engine.warmup(modalities=combo, batch=warm_batch, mesh=mesh,
+                          frames_kind=warmup_frames)
     server = create_server(engine, host, port,
                            batch_window_ms=batch_window_ms,
                            max_batch=max_batch, mesh=mesh,

@@ -107,11 +107,11 @@ def run_verification(engine, samples_dir: str, res_dir: str,
             verdict["samples"][name] = {"error": f"inputs: {e}"}
             verdict["ok"] = False
             continue
-        visual_feats = None
+        frames = chin = None
         if have_v:
-            # NOT cli._video_features: that helper sys.exit(0)s on the
-            # gesture-visibility gate, which would end verify with a
-            # SUCCESS status and no verdict — record the rejection instead
+            # NOT cli._video_features-style exit: that would end verify with
+            # a SUCCESS status and no verdict on the gesture-visibility
+            # gate — record the rejection instead
             from jegal_tpu.cli.main import _decode_for_features
 
             decoded = _decode_for_features(
@@ -121,11 +121,16 @@ def run_verification(engine, samples_dir: str, res_dir: str,
                     "error": "gesture-visibility gate rejected the video"}
                 verdict["ok"] = False
                 continue
-            visual_feats = engine.gestsync_features(*decoded)
+            frames, chin = decoded
         for combo in combos:
+            # 'v' combos drive the FUSED frames->embeddings engine path
+            # (tower + JEGAL forward in one dispatch) — the same graph the
+            # CLI and serving use, so real-weight day-one verification
+            # exercises the production path
             out = engine.extract(
                 modalities=combo,
-                visual_feats=visual_feats if "v" in combo else None,
+                frames=frames if "v" in combo else None,
+                chin_rows=chin if "v" in combo else None,
                 text=text if "t" in combo else None,
                 word_boundaries=wbs,
                 wav=wav if "a" in combo else None,

@@ -386,3 +386,176 @@ def test_batch_ladder():
     assert [_batch_ladder(n, 8) for n in (1, 2, 3, 4, 5, 8, 9)] == [
         1, 2, 4, 4, 8, 8, 8]
     assert _batch_ladder(7, 4) == 4
+
+
+def _post_binary(url, meta, arrays, accept_binary=True):
+    from jegal_tpu.serving import (BINARY_CONTENT_TYPE, decode_binary,
+                                   encode_binary)
+
+    headers = {"Content-Type": BINARY_CONTENT_TYPE}
+    if accept_binary:
+        headers["Accept"] = BINARY_CONTENT_TYPE
+    req = urllib.request.Request(url + "/extract",
+                                 data=encode_binary(meta, arrays),
+                                 headers=headers)
+    with urllib.request.urlopen(req) as resp:
+        body = resp.read()
+        if resp.headers.get("Content-Type") == BINARY_CONTENT_TYPE:
+            return resp.status, decode_binary(body)
+        return resp.status, json.loads(body)
+
+
+def test_binary_protocol_roundtrip(server_url):
+    """octet-stream request framing (+ binary response via Accept) must
+    produce the same embeddings as the base64-JSON protocol, with the body
+    at ~raw array size (no base64 inflation)."""
+    from jegal_tpu.serving import encode_binary
+
+    rng = np.random.default_rng(7)
+    wav = (rng.standard_normal(16000) * 500).astype(np.float32)
+    meta = {"modalities": "ta", "text": "hello world abc",
+            "word_boundaries": [["hello", 2, 7], ["world", 8, 12],
+                                ["abc", 13, 18]], "fname": "bin0"}
+    status, (rmeta, arrays) = _post_binary(server_url, meta, {"wav": wav})
+    assert status == 200
+    assert rmeta["info"]["fname"] == "bin0"
+    assert "gesture_emb" not in arrays  # ta: no gesture branch
+    content = arrays["content_emb"]
+    assert content.shape == (3, 512)
+
+    sj, body = _post(server_url, {**meta, "wav": encode_array(wav)})
+    assert sj == 200
+    np.testing.assert_array_equal(content, decode_array(body["content_emb"]))
+
+    # JSON response for a binary request without the Accept header
+    status, body = _post_binary(server_url, meta, {"wav": wav},
+                                accept_binary=False)
+    assert status == 200 and isinstance(body["content_emb"], str)
+
+    # wire-size sanity: binary body ~= raw bytes, not 1.33x base64
+    raw = wav.nbytes
+    assert len(encode_binary(meta, {"wav": wav})) < raw + 4096
+
+
+def test_binary_bad_framing_is_400(server_url):
+    from jegal_tpu.serving import BINARY_CONTENT_TYPE
+
+    for payload in (b"nope", b"JGL1" + (10**6).to_bytes(4, "big") + b"x",
+                    b"JGL1" + (2).to_bytes(4, "big") + b"[]"):
+        req = urllib.request.Request(
+            server_url + "/extract", data=payload,
+            headers={"Content-Type": BINARY_CONTENT_TYPE})
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError(f"expected HTTP 400 for {payload[:8]!r}")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, payload
+
+
+def test_frames_request_runs_fused_path():
+    """A frames-carrying request must answer through the fused
+    tower+forward graph (engine.extract(frames=...)) and match the
+    engine's direct output."""
+    from jegal_tpu.models import gestsync as G
+
+    engine = JegalEngine(jegal_params=J.init_params(jax.random.PRNGKey(3)),
+                         gestsync_params=G.init_params(jax.random.PRNGKey(1)))
+    server = create_server(engine, host="127.0.0.1", port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        rng = np.random.default_rng(9)
+        frames = rng.integers(0, 255, (5, 270, 480, 3)).astype(np.uint8)
+        status, (meta, arrays) = _post_binary(
+            url, {"modalities": "v", "fname": "f0"}, {"frames": frames})
+        assert status == 200
+        want = engine.extract(modalities="v", frames=frames, fname="f0")
+        np.testing.assert_allclose(arrays["gesture_emb"],
+                                   want["gesture_emb"], rtol=2e-5, atol=2e-5)
+        # the serving path must have used the fused graph, not a two-stage
+        # tower fetch (raw or planar depending on the native repack lib)
+        assert any(isinstance(k, tuple) and k and k[0] == "fused"
+                   for k in engine._combo_cache)
+    finally:
+        server.shutdown()
+
+
+def test_poison_batch_does_not_stall_healthy_clients():
+    """One batchmate that makes the whole batched dispatch raise must not
+    fail (or meaningfully delay) its healthy batchmates: the batcher
+    re-runs each sample alone, attributes the error to the poison request
+    only, and healthy requests still answer 200."""
+    import threading as _t
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from jegal_tpu.serving import _Batcher
+
+    class PoisonEngine:
+        cached_graphs = []
+
+        def _ok(self, s):
+            return {"gesture_emb": None, "content_emb": None,
+                    "info": {"fname": s.get("fname")}}
+
+        def extract_many(self, samples, **kw):
+            if any(s.get("fname") == "poison" for s in samples):
+                raise RuntimeError("batch blew up")
+            return [self._ok(s) for s in samples]
+
+        def extract(self, modalities=None, **s):
+            if s.get("fname") == "poison":
+                raise RuntimeError("still broken")
+            return self._ok(s)
+
+    b = _Batcher(PoisonEngine(), window_ms=50, max_batch=8, lock=_t.Lock())
+
+    def go(name):
+        t0 = _time.monotonic()
+        try:
+            out = b.submit("t", {"fname": name, "text": "x"})
+            return name, out, _time.monotonic() - t0
+        except RuntimeError as e:
+            return name, e, _time.monotonic() - t0
+
+    names = ["h0", "h1", "poison", "h2", "h3"]
+    with ThreadPoolExecutor(5) as ex:
+        results = {n: (r, dt) for n, r, dt in ex.map(go, names)}
+    for n in ("h0", "h1", "h2", "h3"):
+        r, dt = results[n]
+        assert isinstance(r, dict) and r["info"]["fname"] == n
+        assert dt < 30, (n, dt)
+    r, _ = results["poison"]
+    assert isinstance(r, RuntimeError)
+    assert b.dead is None  # worker survived the poison batch
+
+
+def test_mixed_combo_load_p50_p99():
+    """Concurrent mixed-combo load through the batcher: every request
+    answers, and the p50/p99 quantile harness used for the DEPLOYMENT.md
+    table runs end-to-end (absolute numbers are only meaningful on the
+    chip — benchmarks/serving_load.py records those)."""
+    from benchmarks.serving_load import run_load
+
+    import torch
+
+    from jegal_tpu.models import roberta as R
+    from transformers import XLMRobertaConfig, XLMRobertaModel
+
+    cfg = R.RobertaConfig(vocab_size=64, hidden_size=768, num_layers=1,
+                          num_heads=8, intermediate_size=256,
+                          max_position_embeddings=64)
+    torch.manual_seed(7)
+    hf = XLMRobertaModel(XLMRobertaConfig(
+        vocab_size=64, hidden_size=768, num_hidden_layers=1,
+        num_attention_heads=8, intermediate_size=256,
+        max_position_embeddings=64, pad_token_id=1)).eval()
+    engine = JegalEngine(
+        jegal_params=J.init_params(jax.random.PRNGKey(3)),
+        roberta_params=R.params_from_hf(hf.state_dict(), cfg),
+        roberta_cfg=cfg, tokenizer=make_word_tokenizer())
+    stats = run_load(engine, n_requests=12, concurrency=6,
+                     combos=("ta", "t", "a"), batch_window_ms=20,
+                     max_batch=4, binary=True)
+    assert stats["ok"] == 12 and stats["errors"] == 0
+    assert stats["p99_ms"] >= stats["p50_ms"] > 0
