@@ -719,11 +719,18 @@ class JegalEngine:
     @staticmethod
     def _postprocess(gesture, content, i, t_true, w_true, text,
                      word_boundaries, fname):
-        out_g = out_c = None
-        if gesture is not None:
-            out_g = np.asarray(l2_normalize(gesture)[i, :t_true], np.float32)
-        if content is not None:
-            out_c = np.asarray(l2_normalize(content)[i, :w_true], np.float32)
+        """Slice the sample's valid rows, fetch, and L2-normalize IN FLOAT32
+        ON HOST: a bf16 engine normalizing on device leaves row norms at
+        1 +- 0.4% (bf16 rsqrt/divide rounding), which shifts the downstream
+        spotting/ASD logits (G @ C^T / 0.07) — the .pkl contract is exactly
+        unit-norm float32 rows (reference inference_embs.py:629-646)."""
+        def norm_rows(x, n):
+            out = np.asarray(x[i, :n], np.float32)
+            return out / np.maximum(
+                np.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+
+        out_g = None if gesture is None else norm_rows(gesture, t_true)
+        out_c = None if content is None else norm_rows(content, w_true)
         info = {"fname": fname, "word_boundaries": word_boundaries,
                 "text": text}
         return {"gesture_emb": out_g, "content_emb": out_c, "info": info}

@@ -183,6 +183,19 @@ def test_fused_client_errors(engine, rng):
                        frames=fr.astype(np.float32))
 
 
+def test_bf16_outputs_exactly_unit_norm(rng):
+    """A bf16 engine normalizing on device leaves row norms at 1 +- 0.4%
+    (found by the r4 on-chip A/B: 'cosine' dot products between
+    bit-identical embeddings read 0.995); _postprocess must normalize in
+    f32 on host so the .pkl rows are exactly unit."""
+    eng = JegalEngine(jegal_params=J.init_params(jax.random.PRNGKey(3)),
+                      dtype=jnp.bfloat16)
+    feats = rng.standard_normal((9, 1024)).astype(np.float32)
+    out = eng.extract(modalities="v", visual_feats=feats, fname="n")
+    norms = np.linalg.norm(out["gesture_emb"], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-6)
+
+
 def test_bf16_visual_feats_accepted(engine, rng):
     """A bf16 engine's own gestsync_features output is an ml_dtypes.bfloat16
     numpy array, which numpy does not class under np.number — validation
