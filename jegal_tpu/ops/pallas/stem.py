@@ -56,6 +56,10 @@ SLOT = 256         # lanes per frame slot (w 0..159 valid, 128-aligned)
 C_PAD = 32         # s2d channels 27 padded to one bf16 sublane tile
 M_DW = 192         # lhs rows: 3 dw taps x 64 output channels
 K_DIM = 480        # contraction: 5 kt x 3 kh x 32 c
+K_BAND = 160       # one kh tap's K rows (5 kt x 32 c) — the band kernel's
+#                    incremental rhs build unit (see _stem_kernel_band)
+STEM_IMPL = "window"  # 'band' | 'window' — default stem kernel variant
+#                       (module-level so the A/B flips one constant)
 
 
 def _stem_kernel(x_ref, lhs_ref, scale_ref, bias_ref, o_ref,
@@ -161,6 +165,146 @@ def _stem_kernel(x_ref, lhs_ref, scale_ref, bias_ref, o_ref,
     rows_ref[0] = rows_ref[2]  # carry conv row 2j+2 = 2(j+1) to cell j+1
 
 
+def _stem_kernel_band(x_ref, lhs_ref, scale_ref, bias_ref, o_ref,
+                      *scratch, n_tb, n_j, h_rows, w_v, t_blk,
+                      u8_in=False):
+    """Band-rotation stem kernel: the VPU-copy-optimal successor of
+    `_stem_kernel` (see the ARCHITECTURE.md stem roofline — the window
+    kernel is VPU-copy-bound, 2.05 GB of rhs window builds per chunk).
+
+    Key ideas vs the window kernel:
+      * the rhs keeps its (K=480, t_blk*w_v) geometry but is split into 3
+        persistent 160-row K-BANDS, one per kh tap; band b holds input row
+        r (with b = r % 3) in (dt, c) order. Advancing the conv row by 1
+        invalidates exactly ONE band, so each row rebuilds 160 rhs rows
+        instead of 480 — 3x less VPU copy traffic (the measured binder).
+      * the dot stays ONE dense K=480 matmul: lhs_ref holds 3
+        phase-rotated weight layouts (built by `_rotate_lhs`) and output
+        row h uses lhs_ref[h % 3], whose K-bands match the rotated band
+        positions. Same issued FLOPs as the window kernel.
+      * steady-state cells DMA only the 2 NEW input rows (2j+3, 2j+4)
+        instead of the 5-row window — the 2.5x h-halo of the input DMA
+        drops to ~1x (j == 0 cells fetch the initial 5 rows).
+      * the u8 cast happens inside the band build on exactly the rows
+        read (no full-block u8 -> compute-dtype scratch pass).
+
+    Grid and pool-carry semantics are identical to `_stem_kernel`
+    (grid (n_tb, n_j), j innermost; rows_ref[0] carries conv row 2j).
+    """
+    init_ref, step_ref, rhs_ref, rows_ref, sem_i, sem_s = scratch
+    tb = pl.program_id(0)
+    j = pl.program_id(1)
+    k = tb * n_j + j
+    n_cells = n_tb * n_j
+    nlanes = t_blk * w_v
+
+    def dma_init(slot, tb_):
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(tb_ * t_blk, t_blk + 4), pl.ds(0, 5)],
+            init_ref.at[slot], sem_i.at[slot])
+
+    def dma_step(slot, tb_, j_):
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(tb_ * t_blk, t_blk + 4), pl.ds(2 * j_ + 3, 2)],
+            step_ref.at[slot], sem_s.at[slot])
+
+    # depth-1 prefetch: cell k starts cell k+1's fetch before computing.
+    @pl.when(k == 0)
+    def _():
+        dma_init(0, 0).start()
+
+    @pl.when(jnp.logical_and(k + 1 < n_cells, j + 1 < n_j))
+    def _():
+        dma_step((j + 1) % 2, tb, j + 1).start()
+
+    @pl.when(jnp.logical_and(k + 1 < n_cells, j + 1 >= n_j))
+    def _():
+        dma_init((tb + 1) % 2, tb + 1).start()
+
+    @pl.when(j == 0)
+    def _():
+        dma_init(tb % 2, tb).wait()
+
+    @pl.when(j > 0)
+    def _():
+        dma_step(j % 2, tb, j).wait()
+
+    def build_band(src_ref, slot, local_r, band):
+        """rhs band `band` (traced 0..2) <- input row `local_r` (static)
+        of src_ref[slot]: (5 dt, C_PAD, w_v) per frame -> (160, w_v)."""
+        for u in range(t_blk):
+            v = src_ref[slot, u:u + 5, local_r, :, :w_v]
+            if u8_in:
+                # Mosaic has no unsigned->float cast; u8 -> i32 -> dtype
+                v = v.astype(jnp.int32).astype(rhs_ref.dtype)
+            rhs_ref[pl.ds(band * K_BAND, K_BAND),
+                    u * w_v:(u + 1) * w_v] = v.reshape(K_BAND, w_v)
+
+    def dot_row(phase, out_r):
+        """Output conv row with h % 3 == phase (traced) -> rows_ref[out_r];
+        all 3 rhs bands must hold rows h, h+1, h+2."""
+        d = jax.lax.dot_general(
+            lhs_ref[phase], rhs_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)           # (192, nlanes)
+        y = (d[0:64]
+             + pltpu.roll(d[64:128], shift=nlanes - 1, axis=1)
+             + pltpu.roll(d[128:192], shift=nlanes - 2, axis=1))
+        y = jnp.maximum(y * scale_ref[...] + bias_ref[...], 0.0)
+        rows_ref[out_r] = y.astype(rows_ref.dtype)
+
+    @pl.when(j == 0)
+    def _():
+        slot = tb % 2
+        # rows 0..2 fill the three bands (r % 3 == band), then each next
+        # row rebuilds exactly one band; phases at j == 0 are static.
+        build_band(init_ref, slot, 0, 0)
+        build_band(init_ref, slot, 1, 1)
+        build_band(init_ref, slot, 2, 2)
+        dot_row(0, 0)                     # conv row 0
+        build_band(init_ref, slot, 3, 0)  # row 3 -> band 0
+        dot_row(1, 1)                     # conv row 1
+        build_band(init_ref, slot, 4, 1)  # row 4 -> band 1
+        dot_row(2, 2)                     # conv row 2
+
+    @pl.when(j > 0)
+    def _():
+        slot = j % 2
+        # conv rows 2j+1, 2j+2; new input rows 2j+3 (local 0, band
+        # (2j+3) % 3 = 2j % 3) and 2j+4 (local 1, band (2j+1) % 3)
+        build_band(step_ref, slot, 0, jnp.remainder(2 * j, 3))
+        dot_row(jnp.remainder(2 * j + 1, 3), 1)
+        build_band(step_ref, slot, 1, jnp.remainder(2 * j + 1, 3))
+        dot_row(jnp.remainder(2 * j + 2, 3), 2)
+
+    del h_rows
+    m = jnp.maximum(rows_ref[0], jnp.maximum(rows_ref[1], rows_ref[2]))
+    m = jnp.maximum(m, jnp.maximum(
+        pltpu.roll(m, shift=nlanes - 1, axis=1),
+        pltpu.roll(m, shift=nlanes - 2, axis=1)))
+    m = m.astype(o_ref.dtype)
+    for u in range(t_blk):
+        o_ref[u, 0, :, :w_v] = m[:, w_v * u:w_v * (u + 1)]
+    rows_ref[0] = rows_ref[2]  # carry conv row 2j+2 = 2(j+1) to cell j+1
+
+
+def _rotate_lhs(lhs):
+    """(192, 480) with K order (dt, dh, c) -> (3, 192, 480) phase-rotated
+    for the band kernel: phase p places kh tap dh at K-band (dh + p) % 3
+    with in-band order (dt, c), matching the band that holds input row
+    h + dh when h % 3 == p."""
+    idx = np.arange(K_DIM)
+    dt, rem = idx // 96, idx % 96
+    dh, c = rem // C_PAD, rem % C_PAD
+    rots = []
+    for p in range(3):
+        newk = ((dh + p) % 3) * K_BAND + dt * C_PAD + c
+        perm = np.empty(K_DIM, np.int64)
+        perm[newk] = idx
+        rots.append(lhs[:, perm])
+    return jnp.stack(rots)
+
+
 def stem_kernel_params(blk, eps: float = 1e-5):
     """Fold the stem conv kernel + BatchNorm into kernel operands.
 
@@ -213,13 +357,18 @@ def stem_mgrid(frames, lhs, scale, bias, interpret: bool = False):
 
 
 def stem_mgrid_x(x, lhs, scale, bias, w_valid: int = 160,
-                 interpret: bool = False):
+                 interpret: bool = False, impl: str | None = None):
     """Pre-repacked entry: x (T4, H3, 32, SLOT) as produced by s2d_lanes /
     ops.video.mask_frames_s2d (which fuses the repack into the masking
     pass) -> m-grid (t_out, J, 64, SLOT).
 
     w_valid: valid w lanes per frame in x (w // 3 of the raw frames; 160
-    for the 480-wide production geometry)."""
+    for the 480-wide production geometry).
+    impl: 'window' (full rhs window rebuilt per conv row; the default —
+    measured fastest on chip) | 'band' (rotating-band rhs, 3x less window
+    build traffic but ~8% slower measured; kept as the documented
+    alternative decomposition — see _stem_kernel_band)."""
+    impl = impl or STEM_IMPL
     t_out = x.shape[0] - 4
     h_in = x.shape[1]                       # conv-domain h rows available
     kh = 3                                  # block-space kernel extent
@@ -234,13 +383,38 @@ def stem_mgrid_x(x, lhs, scale, bias, w_valid: int = 160,
 
     x = jnp.pad(x, ((0, t4_pad - x.shape[0]), (0, 0), (0, 0), (0, 0)))
 
+    if impl == "band":
+        kernel = functools.partial(_stem_kernel_band, n_tb=n_tb, n_j=n_j,
+                                   h_rows=h_rows, w_v=w_valid, t_blk=t_blk)
+        lhs_op = _rotate_lhs(lhs).astype(x.dtype)
+        lhs_spec = pl.BlockSpec((3, M_DW, K_DIM), lambda tb, j: (0, 0, 0))
+        scratch = [
+            pltpu.VMEM((2, t_blk + 4, 5, C_PAD, SLOT), x.dtype),
+            pltpu.VMEM((2, t_blk + 4, 2, C_PAD, SLOT), x.dtype),
+            pltpu.VMEM((K_DIM, t_blk * w_valid), x.dtype),
+            # f32: Mosaic's lane rotate (the w-pool shifts) is 32-bit only
+            pltpu.VMEM((3, 64, t_blk * w_valid), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kernel = functools.partial(_stem_kernel, n_tb=n_tb, n_j=n_j,
+                                   h_rows=h_rows, w_v=w_valid, t_blk=t_blk)
+        lhs_op = lhs.astype(x.dtype)
+        lhs_spec = pl.BlockSpec((M_DW, K_DIM), lambda tb, j: (0, 0))
+        scratch = [
+            pltpu.VMEM((2, t_blk + 4, 5, C_PAD, SLOT), x.dtype),
+            pltpu.VMEM((K_DIM, t_blk * w_valid), x.dtype),
+            pltpu.VMEM((3, 64, t_blk * w_valid), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+
     out = pl.pallas_call(
-        functools.partial(_stem_kernel, n_tb=n_tb, n_j=n_j, h_rows=h_rows,
-                          w_v=w_valid, t_blk=t_blk),
+        kernel,
         grid=(n_tb, n_j),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((M_DW, K_DIM), lambda tb, j: (0, 0)),
+            lhs_spec,
             pl.BlockSpec((64, 1), lambda tb, j: (0, 0)),
             pl.BlockSpec((64, 1), lambda tb, j: (0, 0)),
         ],
@@ -248,22 +422,16 @@ def stem_mgrid_x(x, lhs, scale, bias, w_valid: int = 160,
                                lambda tb, j: (tb, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_tb * t_blk, n_j, 64, SLOT),
                                        x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, t_blk + 4, 5, C_PAD, SLOT), x.dtype),
-            pltpu.VMEM((K_DIM, t_blk * w_valid), x.dtype),
-            # f32: Mosaic's lane rotate (the w-pool shifts) is 32-bit only
-            pltpu.VMEM((3, 64, t_blk * w_valid), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(x, lhs.astype(x.dtype), scale, bias)
+    )(x, lhs_op, scale, bias)
     return out[:t_out]
 
 
 def stem_mgrid_planar(xp, lhs, scale, bias, dtype=jnp.bfloat16,
-                      interpret: bool = False):
+                      interpret: bool = False, impl: str | None = None):
     """m-grid from HOST-repacked uint8 planar input — the production entry.
 
     xp: (T4, H3, 27, w_v) uint8 as emitted by host.media.s2d_repack
@@ -278,6 +446,7 @@ def stem_mgrid_planar(xp, lhs, scale, bias, dtype=jnp.bfloat16,
     round-trips the same geometry in uint8 (2x less traffic) and spends no
     VPU work on convert outside the kernel. -> (t_out, J, 64, SLOT).
     """
+    impl = impl or STEM_IMPL
     assert xp.dtype == jnp.uint8 and xp.shape[2] <= C_PAD, xp.shape
     t_out = xp.shape[0] - 4
     h_in = xp.shape[1]
@@ -292,13 +461,40 @@ def stem_mgrid_planar(xp, lhs, scale, bias, dtype=jnp.bfloat16,
                       (0, C_PAD - xp.shape[2]), (0, SLOT - w_v)))
     lhs = (lhs.astype(jnp.float32) / 255.0).astype(dtype)
 
+    if impl == "band":
+        kernel = functools.partial(_stem_kernel_band, n_tb=n_tb, n_j=n_j,
+                                   h_rows=h_rows, w_v=w_v, t_blk=t_blk,
+                                   u8_in=True)
+        lhs_op = _rotate_lhs(lhs)
+        lhs_spec = pl.BlockSpec((3, M_DW, K_DIM), lambda tb, j: (0, 0, 0))
+        scratch = [
+            pltpu.VMEM((2, t_blk + 4, 5, C_PAD, SLOT), jnp.uint8),
+            pltpu.VMEM((2, t_blk + 4, 2, C_PAD, SLOT), jnp.uint8),
+            pltpu.VMEM((K_DIM, t_blk * w_v), dtype),
+            pltpu.VMEM((3, 64, t_blk * w_v), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kernel = functools.partial(_stem_kernel, n_tb=n_tb, n_j=n_j,
+                                   h_rows=h_rows, w_v=w_v, t_blk=t_blk,
+                                   u8_in=True)
+        lhs_op = lhs
+        lhs_spec = pl.BlockSpec((M_DW, K_DIM), lambda tb, j: (0, 0))
+        scratch = [
+            pltpu.VMEM((2, t_blk + 4, 5, C_PAD, SLOT), jnp.uint8),
+            pltpu.VMEM((t_blk + 4, 5, C_PAD, SLOT), dtype),
+            pltpu.VMEM((K_DIM, t_blk * w_v), dtype),
+            pltpu.VMEM((3, 64, t_blk * w_v), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+
     out = pl.pallas_call(
-        functools.partial(_stem_kernel, n_tb=n_tb, n_j=n_j, h_rows=h_rows,
-                          w_v=w_v, t_blk=t_blk, u8_in=True),
+        kernel,
         grid=(n_tb, n_j),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((M_DW, K_DIM), lambda tb, j: (0, 0)),
+            lhs_spec,
             pl.BlockSpec((64, 1), lambda tb, j: (0, 0)),
             pl.BlockSpec((64, 1), lambda tb, j: (0, 0)),
         ],
@@ -306,17 +502,11 @@ def stem_mgrid_planar(xp, lhs, scale, bias, dtype=jnp.bfloat16,
                                lambda tb, j: (tb, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_tb * t_blk, n_j, 64, SLOT),
                                        dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, t_blk + 4, 5, C_PAD, SLOT), jnp.uint8),
-            pltpu.VMEM((t_blk + 4, 5, C_PAD, SLOT), dtype),
-            pltpu.VMEM((K_DIM, t_blk * w_v), dtype),
-            pltpu.VMEM((3, 64, t_blk * w_v), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(xp, lhs, scale, bias)
+    )(xp, lhs_op, scale, bias)
     return out[:t_out]
 
 

@@ -174,3 +174,36 @@ def test_extract_features_planar_matches_raw(params, rng):
     out = np.asarray(G.extract_features_planar(
         params, planar, chunk=160, dtype=jnp.float32, interpret=True))
     np.testing.assert_allclose(out, raw, atol=2e-5, rtol=2e-5)
+
+
+def test_band_kernel_matches_window_kernel(params, rng):
+    """The band-rotation stem kernel (_stem_kernel_band: one 160-row K-band
+    rebuilt per conv row, 3 phase-rotated lhs layouts, 2-row steady-state
+    DMA) must match the window kernel on BOTH the float and the u8-planar
+    entries, across tb transitions and both j parities of the band
+    rotation."""
+    from jegal_tpu.host import media
+
+    blk = params["net_vid"][0]
+    lhs, scale, bias = S.stem_kernel_params(blk)
+    for (t4, h, w) in [(24, 33, 24), (13, 45, 48)]:
+        frames = jnp.asarray(rng.random((t4, h, w, 3)), jnp.float32)
+        x = S.s2d_lanes(frames)
+        w_v = w // 3
+        a = np.asarray(S.stem_mgrid_x(x, lhs, scale, bias, w_valid=w_v,
+                                      interpret=True, impl="window"))
+        b = np.asarray(S.stem_mgrid_x(x, lhs, scale, bias, w_valid=w_v,
+                                      interpret=True, impl="band"))
+        np.testing.assert_allclose(a[..., :w_v], b[..., :w_v],
+                                   rtol=1e-5, atol=1e-5)
+
+    fr_u8 = rng.integers(0, 255, (12, 27, 24, 3)).astype(np.uint8)
+    planar = jnp.asarray(media.s2d_repack(fr_u8, None))
+    pa = np.asarray(S.stem_mgrid_planar(planar, lhs, scale, bias,
+                                        dtype=jnp.float32, interpret=True,
+                                        impl="window"))
+    pb = np.asarray(S.stem_mgrid_planar(planar, lhs, scale, bias,
+                                        dtype=jnp.float32, interpret=True,
+                                        impl="band"))
+    np.testing.assert_allclose(pa[..., :8], pb[..., :8],
+                               rtol=1e-5, atol=1e-5)
