@@ -873,6 +873,19 @@ class JegalEngine:
             if i in fused:
                 continue
             try:
+                # same input contract as single-sample extract(): frames
+                # with a non-'v' combo, frames+visual_feats together, or
+                # chin_rows without frames are client errors — under the
+                # batch contract they map to a None result, never to a
+                # silently-ignored tensor
+                if s.get("frames") is not None:
+                    if not use[0]:
+                        raise ClientError(
+                            "frames given but modalities lack 'v'")
+                    raise ClientError(
+                        "pass either frames or visual_feats, not both")
+                if s.get("chin_rows") is not None:
+                    raise ClientError("chin_rows requires frames")
                 prep = self._prepare_sample(
                     modalities, s.get("visual_feats"), s.get("text"),
                     s.get("word_boundaries"), s.get("wav"))
@@ -893,6 +906,21 @@ class JegalEngine:
                                for k, v in prep[0].items()))
             groups.setdefault(sig, []).append(idx)
 
+        def settle(chunk, gesture, content):
+            """Fetch + postprocess one dispatched chunk (the sync point)."""
+            for bi, i in enumerate(chunk):
+                _, t_true, w_true = prepared[i]
+                s = samples[i]
+                results[i] = self._postprocess(
+                    gesture, content, bi, t_true, w_true, s.get("text"),
+                    s.get("word_boundaries"), s.get("fname"))
+
+        # depth-1 software pipeline (same shape as
+        # gestsync_features_from_raw_many): chunk k+1 is assembled,
+        # uploaded, and dispatched BEFORE chunk k's outputs are fetched, so
+        # host stacking + host->device transfer overlap the previous
+        # chunk's device compute instead of serializing behind its fetch
+        inflight = None
         for idxs in groups.values():
             for lo in range(0, len(idxs), batch_size):
                 chunk = idxs[lo : lo + batch_size]
@@ -905,12 +933,11 @@ class JegalEngine:
                         [prepared[i][0][kname][0] for i in chunk], b, mesh)
                     for kname in keys}
                 gesture, content = self._forward(use, arrays)
-                for bi, i in enumerate(chunk):
-                    _, t_true, w_true = prepared[i]
-                    s = samples[i]
-                    results[i] = self._postprocess(
-                        gesture, content, bi, t_true, w_true, s.get("text"),
-                        s.get("word_boundaries"), s.get("fname"))
+                if inflight is not None:
+                    settle(*inflight)
+                inflight = (chunk, gesture, content)
+        if inflight is not None:
+            settle(*inflight)
         return results
 
     def _extract_many_fused(self, samples, fused, use, results,
@@ -931,6 +958,18 @@ class JegalEngine:
                                 for k, v in arrays.items())))
             fgroups.setdefault(sig, []).append(i)
 
+        def settle(chunk, gesture, content):
+            for bi, i in enumerate(chunk):
+                _, frames, _, _, w_true = fused[i]
+                s = samples[i]
+                results[i] = self._postprocess(
+                    gesture, content, bi, frames.shape[0], w_true,
+                    s.get("text"), s.get("word_boundaries"),
+                    s.get("fname"))
+
+        # depth-1 pipeline: the NEXT chunk's (large) frames upload overlaps
+        # the current chunk's fused tower+forward compute (see extract_many)
+        inflight = None
         for (kind, t_bucket, _), idxs in fgroups.items():
             shape = (90, 27, 160) if kind == "planar" else (270, 480, 3)
             for lo in range(0, len(idxs), batch_size):
@@ -964,13 +1003,11 @@ class JegalEngine:
                 gesture, content = self._combo_cache[key](
                     self.gestsync_params, self.jegal_params,
                     self.roberta_params, frj, cutj, vmaskj, **arrays)
-                for bi, i in enumerate(chunk):
-                    _, frames, _, _, w_true = fused[i]
-                    s = samples[i]
-                    results[i] = self._postprocess(
-                        gesture, content, bi, frames.shape[0], w_true,
-                        s.get("text"), s.get("word_boundaries"),
-                        s.get("fname"))
+                if inflight is not None:
+                    settle(*inflight)
+                inflight = (chunk, gesture, content)
+        if inflight is not None:
+            settle(*inflight)
 
     def warmup(self, modalities: str = "vta", t: int = 128, s: int = 64,
                w: int = 16, mel: int = 512, batch: int = 1,
