@@ -98,6 +98,10 @@ def main(n_rows: int = 500, batch_size: int = 16) -> dict:
         res_dir = os.path.join(root, "embs")
         mesh = _data_mesh() if batch_size > 1 else None
 
+        # COLD pass: includes every jit compile the corpus hits. The WARM
+        # pass re-runs the same corpus on the same engine (fresh res_dir so
+        # the idempotent skip doesn't shortcut it) — that is the rows/sec a
+        # long-running extraction job actually sees (VERDICT r4 item 8).
         t0 = time.perf_counter()
         stats = extract_embeddings_csv(
             engine, csv_path=paths["csv"], video_dir=paths["video_dir"],
@@ -106,6 +110,16 @@ def main(n_rows: int = 500, batch_size: int = 16) -> dict:
             batch_size=batch_size, mesh=mesh)
         t_extract = time.perf_counter() - t0
         assert stats["done"] == n_rows, stats
+
+        t0 = time.perf_counter()
+        stats2 = extract_embeddings_csv(
+            engine, csv_path=paths["csv"], video_dir=paths["video_dir"],
+            feature_dir=paths["feature_dir"],
+            res_dir=os.path.join(res_dir, "vta_warm"), modalities="vta",
+            batch_size=batch_size, mesh=mesh)
+        t_warm = time.perf_counter() - t0
+        assert stats2["done"] == n_rows, stats2
+        shutil.rmtree(os.path.join(res_dir, "vta_warm"))
 
         pkl_dir = os.path.join(res_dir, "vta")
         t0 = time.perf_counter()
@@ -128,6 +142,11 @@ def main(n_rows: int = 500, batch_size: int = 16) -> dict:
             "rows": n_rows,
             "extract_s": round(t_extract, 2),
             "extract_rows_per_sec": round(n_rows / t_extract, 2),
+            # compile_s: cold-minus-warm — the one-time jit cost of the
+            # (combo, bucket, ladder) graphs this corpus hits
+            "extract_compile_s": round(max(0.0, t_extract - t_warm), 2),
+            "extract_warm_s": round(t_warm, 2),
+            "extract_warm_rows_per_sec": round(n_rows / t_warm, 2),
             "eval_retrieval_s": round(t_ret, 2),
             "eval_spotting_s": round(t_spot, 2),
             "eval_asd_s": round(t_asd, 2),

@@ -80,9 +80,7 @@ def main(n_videos: int = 16):
 
     results = []
     for bs in (1, 8):
-        res_dir = os.path.join(root, f"feats_bs{bs}")
         Args.batch_size = bs
-        Args.res_dir = res_dir
         # warm the jit cache so the measurement is steady-state driver
         # throughput, not compile time (serving warm-start is measured
         # separately in docs/DEPLOYMENT.md)
@@ -90,15 +88,22 @@ def main(n_videos: int = 16):
         Args.res_dir = warm_dir
         cmd_extract_feats(Args)
         shutil.rmtree(warm_dir)
-        Args.res_dir = res_dir
 
-        t0 = time.perf_counter()
-        cmd_extract_feats(Args)
-        dt = time.perf_counter() - t0
-        vps = n_videos / dt
+        # best-of-reps, like every other bench number: the tunnel-attached
+        # chip shows large run-to-run transfer/contention variance and this
+        # was the only single-pass measurement left (VERDICT r4 item 4)
+        best = float("inf")
+        for rep in range(3):
+            res_dir = os.path.join(root, f"feats_bs{bs}_r{rep}")
+            Args.res_dir = res_dir
+            t0 = time.perf_counter()
+            cmd_extract_feats(Args)
+            best = min(best, time.perf_counter() - t0)
+            shutil.rmtree(res_dir)
+        vps = n_videos / best
         results.append({"metric": "extract-feats DRIVER throughput "
                                   "(real .avi decode -> batched tower -> "
-                                  ".npy, 5s clips, bf16)",
+                                  ".npy, 5s clips, bf16, best of 3)",
                         "batch_size": bs, "videos": n_videos,
                         "value": round(vps, 2), "unit": "videos/sec"})
         print(json.dumps(results[-1]))

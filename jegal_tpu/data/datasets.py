@@ -143,7 +143,13 @@ def extract_embeddings_csv(engine, csv_path: str, video_dir: str,
             else:
                 payload.pop("modalities", None)
                 pending.append((payload, row, out_path))
-                if len(pending) >= batch_size:
+                # accumulate several batches before flushing: extract_many
+                # groups by shape signature, so a wider window packs ragged
+                # rows (mixed s/w/mel buckets) into FULL same-sig chunks
+                # instead of straggler ladder chunks, and its depth-1
+                # pipeline gets more chunks to overlap. Memory stays small
+                # (8 batches of features, ~4 MB each at T=128).
+                if len(pending) >= batch_size * 8:
                     flush()
         flush()
 

@@ -86,3 +86,21 @@ def test_mag_phase_and_reconstruct(rng):
     n = min(len(rec), 8000)
     err = np.abs(rec[400 : n - 400] - wav[0, 400 : n - 400])
     assert err.max() < 2.0, err.max()
+
+
+def test_wav2filterbanks_np_matches_jnp(rng):
+    """The host (numpy) mel twin used by api.prepare_audio must match the
+    in-graph jnp version (same window, filterbank, drop-last-frame)."""
+    for s in (8000, 16320, 80000):
+        wav = (rng.standard_normal(s) * 1000).astype(np.float32)
+        want = np.asarray(A.wav2filterbanks(jnp.asarray(wav)[None]))
+        got = A.wav2filterbanks_np(wav)
+        assert got.shape == want.shape
+        assert got.dtype == np.float32
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
+    # 2-D input passes through unchanged
+    wav2 = (rng.standard_normal((2, 8000)) * 1000).astype(np.float32)
+    np.testing.assert_allclose(
+        A.wav2filterbanks_np(wav2),
+        np.asarray(A.wav2filterbanks(jnp.asarray(wav2))),
+        rtol=2e-4, atol=2e-3)

@@ -195,3 +195,53 @@ def test_warmup_shards_with_mesh(engine):
     mesh = make_mesh(8, model_parallel=1)
     engine.warmup(modalities="vta", batch=3, mesh=mesh)  # rounds to 8
     engine.warmup(modalities="t", batch=8, mesh=mesh)
+
+
+def test_batch_contract_malformed_samples(engine, rng):
+    """ADVICE r4 item 1: under the batch contract, malformed samples map to
+    a None result (the corpus run keeps going); single-sample extract()
+    raises ClientError so serving can answer 400."""
+    from jegal_tpu.api import ClientError
+
+    good = _samples(rng, n=1)[0]
+    frames = rng.integers(0, 255, (6, 270, 480, 3)).astype(np.uint8)
+    bad = [
+        # frames together with visual_feats
+        dict(good, frames=frames),
+        # chin_rows without frames
+        dict(good, chin_rows=np.full(6, 100, np.int32)),
+    ]
+    res = engine.extract_many([good] + bad, modalities="vta", batch_size=4)
+    assert res[0] is not None
+    assert res[1] is None and res[2] is None
+    for s in bad:
+        with pytest.raises(ClientError):
+            engine.extract(modalities="vta", **s)
+    # frames with a combo lacking 'v': None in batch, ClientError single
+    res = engine.extract_many(
+        [{"frames": frames, "text": good["text"],
+          "word_boundaries": good["word_boundaries"],
+          "wav": good["wav"], "fname": "x"}],
+        modalities="ta", batch_size=4)
+    assert res == [None]
+    with pytest.raises(ClientError):
+        engine.extract(modalities="ta", frames=frames, text=good["text"],
+                       word_boundaries=good["word_boundaries"],
+                       wav=good["wav"])
+
+
+def test_prepared_arrays_are_host_numpy(engine, rng):
+    """Per-sample prep must not touch the device (VERDICT r4 weak 2: the
+    eager-op storm): every prepared array is host numpy unless the caller
+    handed over a device-resident tensor."""
+    s = _samples(rng, n=1)[0]
+    prep = engine._prepare_sample("vta", s["visual_feats"], s["text"],
+                                  s["word_boundaries"], s["wav"])
+    assert prep is not None
+    arrays, _, _ = prep
+    for name, arr in arrays.items():
+        assert isinstance(arr, np.ndarray), (name, type(arr))
+    # device-resident visual features stay on device
+    vf = jax.device_put(s["visual_feats"])
+    arrays, _, _ = engine._prepare_sample("v", vf, None, None, None)
+    assert isinstance(arrays["visual_feats"], jax.Array)
