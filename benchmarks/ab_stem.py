@@ -21,17 +21,28 @@ rng = np.random.default_rng(0)
 xp = jnp.asarray(rng.integers(0, 255, (164, 90, 27, 160)).astype(np.uint8))
 
 
-def make(impl):
+def make(impl, **kw):
     def body(i, carry):
         xi = xp ^ i.astype(jnp.uint8)
         out = S.stem_mgrid_planar(xi, lhs, scale, bias,
-                                  dtype=jnp.bfloat16, impl=impl)
+                                  dtype=jnp.bfloat16, impl=impl, **kw)
         return carry + out[0, 0, 0, 0].astype(jnp.float32)
     return jax.jit(lambda: jax.lax.fori_loop(0, N, body, 0.0))
 
 
-for impl in ["window", "band"]:
-    fn = make(impl)
+VARIANTS = [("window", {}), ("band", {}),
+            ("window+u8direct", {"u8_direct": True}),
+            ("window+pairdot", {"pair_dot": True}),
+            ("window+u8direct+pairdot", {"u8_direct": True,
+                                         "pair_dot": True})]
+
+import sys
+only = sys.argv[1:] if len(sys.argv) > 1 else None
+for name, kw in VARIANTS:
+    if only and name not in only:
+        continue
+    impl = "band" if name == "band" else "window"
+    fn = make(impl, **kw)
     t0 = time.time()
     v = float(np.asarray(fn()))
     t_compile = time.time() - t0
@@ -41,5 +52,5 @@ for impl in ["window", "band"]:
         v = float(np.asarray(fn()))
         times.append(time.time() - t0)
     per = min(times) / N * 1e3
-    print(f"{impl}: {per:.3f} ms/chunk (best of 3x{N}; compile+first "
+    print(f"{name}: {per:.3f} ms/chunk (best of 3x{N}; compile+first "
           f"{t_compile:.1f}s; probe={v:.3f})", flush=True)

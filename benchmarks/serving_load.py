@@ -22,8 +22,14 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _payloads(rng, combos, n, t_frames=0):
-    """One (combo, meta, arrays) request per i, cycling combos."""
+def _payloads(rng, combos, n, t_frames=0, poison_every=0):
+    """One (combo, meta, arrays) request per i, cycling combos.
+
+    poison_every > 0: every Nth request is INVALID under reference
+    semantics (word_boundaries that don't tokenize against the text) —
+    it lands in the same cross-request batches as its healthy batchmates,
+    the engine maps it to a None result, and the server must answer it
+    4xx while the batchmates still get 200 (poison-batch isolation)."""
     out = []
     for i in range(n):
         combo = combos[i % len(combos)]
@@ -40,14 +46,19 @@ def _payloads(rng, combos, n, t_frames=0):
         if "v" in combo:
             arrays["frames"] = rng.integers(
                 0, 255, (t_frames, 270, 480, 3)).astype(np.uint8)
-        out.append((combo, meta, arrays))
+        poison = poison_every and i % poison_every == poison_every - 1
+        if poison and "t" in combo:
+            meta["fname"] = f"poison{i}"
+            meta["word_boundaries"] = [["zzz", 2, 7]]  # mismatch vs text
+        out.append((combo, meta, arrays, bool(poison and "t" in combo)))
     return out
 
 
 def run_load(engine, n_requests: int = 32, concurrency: int = 8,
              combos=("ta", "t", "a"), batch_window_ms: float = 20.0,
              max_batch: int = 16, binary: bool = True, mesh=None,
-             t_frames: int = 125, warm: bool = True) -> dict:
+             t_frames: int = 125, warm: bool = True,
+             poison_every: int = 0) -> dict:
     """Spin a batched server on an ephemeral port, fire `n_requests`
     mixed-combo requests at `concurrency`, return latency quantiles."""
     from concurrent.futures import ThreadPoolExecutor
@@ -56,14 +67,17 @@ def run_load(engine, n_requests: int = 32, concurrency: int = 8,
                                    encode_array, encode_binary)
 
     rng = np.random.default_rng(0)
-    reqs = _payloads(rng, combos, n_requests, t_frames=t_frames)
+    reqs = _payloads(rng, combos, n_requests, t_frames=t_frames,
+                     poison_every=poison_every)
     if warm:
         # warm EXACTLY the graphs the traffic will hit: one representative
         # sample per combo through the batcher's own call shape
         # (extract_many, ladder=False, padded to max_batch) — including the
         # handler's raw->planar C++ repack when the native lib is present
         seen = set()
-        for combo, meta, arrays in reqs:
+        for combo, meta, arrays, poison in reqs:
+            if poison:
+                continue
             if combo in seen:
                 continue
             seen.add(combo)
@@ -89,7 +103,7 @@ def run_load(engine, n_requests: int = 32, concurrency: int = 8,
     url = f"http://127.0.0.1:{server.server_address[1]}/extract"
 
     def fire(item):
-        combo, meta, arrays = item
+        combo, meta, arrays, poison = item
         if binary:
             data = encode_binary(meta, arrays)
             headers = {"Content-Type": BINARY_CONTENT_TYPE}
@@ -99,14 +113,19 @@ def run_load(engine, n_requests: int = 32, concurrency: int = 8,
             ).encode()
             headers = {"Content-Type": "application/json"}
         t0 = time.monotonic()
+        status = None
         try:
             with urllib.request.urlopen(urllib.request.Request(
                     url, data=data, headers=headers)) as resp:
                 resp.read()
-                ok = resp.status == 200
+                status = resp.status
+        except urllib.error.HTTPError as e:
+            status = e.code
         except Exception:
-            ok = False
-        return combo, ok, (time.monotonic() - t0) * 1e3, len(data)
+            pass
+        ok = status == 200
+        return combo, ok, (time.monotonic() - t0) * 1e3, len(data), \
+            poison, status
 
     try:
         with ThreadPoolExecutor(concurrency) as ex:
@@ -114,16 +133,17 @@ def run_load(engine, n_requests: int = 32, concurrency: int = 8,
     finally:
         server.shutdown()
 
-    lat = sorted(r[2] for r in rows if r[1])
+    healthy = [r for r in rows if not r[4]]
+    lat = sorted(r[2] for r in healthy if r[1])
     by_combo = {}
-    for combo, ok, ms, _ in rows:
+    for combo, ok, ms, _, poison, _ in healthy:
         by_combo.setdefault(combo, []).append(ms if ok else None)
     stats = {
         "n": n_requests, "concurrency": concurrency,
         "binary": binary, "max_batch": max_batch,
         "batch_window_ms": batch_window_ms,
-        "ok": sum(r[1] for r in rows),
-        "errors": sum(not r[1] for r in rows),
+        "ok": sum(r[1] for r in healthy),
+        "errors": sum(not r[1] for r in healthy),
         "p50_ms": round(float(np.percentile(lat, 50)), 2) if lat else None,
         "p99_ms": round(float(np.percentile(lat, 99)), 2) if lat else None,
         "wire_bytes_max": max(r[3] for r in rows),
@@ -132,6 +152,17 @@ def run_load(engine, n_requests: int = 32, concurrency: int = 8,
                                          50)), 2)
             for c, v in by_combo.items() if any(m is not None for m in v)},
     }
+    if poison_every:
+        # isolation contract: every poison answered 4xx (not 5xx, not a
+        # hang), zero healthy errors; healthy p50/p99 above measure the
+        # latency impact of sharing batches with poison requests
+        poisons = [r for r in rows if r[4]]
+        stats["poison"] = {
+            "n": len(poisons),
+            "all_4xx": all(r[5] is not None and 400 <= r[5] < 500
+                           for r in poisons),
+            "statuses": sorted({r[5] for r in poisons}),
+        }
     return stats
 
 
@@ -160,10 +191,14 @@ def main():
     for binary in (True, False):
         stats = run_load(engine, n_requests=48, concurrency=8,
                          combos=("ta", "t", "a"), binary=binary)
-        print(json.dumps({"load": "content-combos", **stats}))
+        print(json.dumps({"load": "content-combos", **stats}), flush=True)
+    stats = run_load(engine, n_requests=48, concurrency=8,
+                     combos=("ta", "t", "a"), binary=True, poison_every=6)
+    print(json.dumps({"load": "content-combos+poison", **stats}),
+          flush=True)
     stats = run_load(engine, n_requests=8, concurrency=4, combos=("vta",),
                      max_batch=4, binary=True, t_frames=125)
-    print(json.dumps({"load": "raw-frames vta", **stats}))
+    print(json.dumps({"load": "raw-frames vta", **stats}), flush=True)
 
 
 if __name__ == "__main__":

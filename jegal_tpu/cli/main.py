@@ -972,9 +972,15 @@ def cmd_train(args):
 
 def setup_compilation_cache():
     """Persistent XLA compilation cache: first compiles of the big graphs
-    take minutes through the tunnel-attached TPU; subsequent CLI processes
-    reuse them. Override dir with JEGAL_TPU_CACHE_DIR; disable with
-    JEGAL_TPU_CACHE_DIR=''."""
+    take minutes; subsequent CLI processes reuse them. Override dir with
+    JEGAL_TPU_CACHE_DIR; disable with JEGAL_TPU_CACHE_DIR=''.
+
+    Runtime caveat (measured): on standard TPU runtimes (PJRT TPU plugin)
+    this covers every jit in the package. On the experimental tunnel-
+    attached 'axon' platform the big executables are compiled server-side
+    and NOT serialized into this cache, so cold-compile times recur per
+    process there — an axon limitation, not a config problem (the cache
+    dir does populate with the host-compiled graphs)."""
     cache_dir = os.environ.get(
         "JEGAL_TPU_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "jegal_tpu", "xla"))

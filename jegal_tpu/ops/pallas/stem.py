@@ -60,10 +60,26 @@ K_BAND = 160       # one kh tap's K rows (5 kt x 32 c) — the band kernel's
 #                    incremental rhs build unit (see _stem_kernel_band)
 STEM_IMPL = "window"  # 'band' | 'window' — default stem kernel variant
 #                       (module-level so the A/B flips one constant)
+STEM_U8_DIRECT = True   # window kernel, u8 input: build rhs windows
+#                         DIRECTLY from the u8 block (cast fused into the
+#                         window copy) instead of a serial full-block cast
+#                         pass per cell — the r4 roofline's "building
+#                         windows directly from u8". Measured on chip
+#                         (benchmarks/ab_stem.py, bit-equal probes):
+#                         4.985 -> 4.865 ms/chunk (+2.4%); adopted default
+STEM_PAIR_DOT = False   # window kernel: both new conv rows of a cell in
+#                         ONE (192, 480) @ (480, 2*nlanes) dot — halves the
+#                         dot-issue count (tests the r4 "dot-serialization
+#                         bound" conclusion). NEGATIVE: 5.080 ms/chunk
+#                         (~2% slower; and 16.0 ms combined with u8_direct
+#                         — the doubled fused-cast window build blocks the
+#                         wide dot). Kept flag-gated + parity-tested as the
+#                         documented negative result
 
 
 def _stem_kernel(x_ref, lhs_ref, scale_ref, bias_ref, o_ref,
-                 *scratch, n_tb, n_j, h_rows, w_v, t_blk, u8_in=False):
+                 *scratch, n_tb, n_j, h_rows, w_v, t_blk, u8_in=False,
+                 u8_direct=False, pair_dot=False):
     """Grid (n_tb, n_j), j innermost (sequential; rows_ref[0] carries
     conv row 2j across j cells of the same tb block).
 
@@ -78,11 +94,25 @@ def _stem_kernel(x_ref, lhs_ref, scale_ref, bias_ref, o_ref,
     VMEM (ab_ref); the /255 scale is folded into lhs by the caller. This
     removes the whole XLA convert+pad stage (and its (T4, H3, 32, 256)
     compute-dtype HBM round trip) from the planar production path.
+
+    u8_direct (with u8_in): skip the ab_ref block-cast pass; each rhs
+    window copy casts u8 -> i32 -> dtype in the SAME vector pass as the
+    copy (the band kernel's build_band already proved Mosaic fuses this).
+    Removes ~0.7 GB/chunk of serial, non-overlapped VPU cast writes at the
+    price of casting inside copies that are overlapped behind the dots
+    anyway (r4 roofline: "building windows directly from u8").
+
+    pair_dot: the two new conv rows of a cell go into ONE
+    (192, 480) @ (480, 2*nlanes) matmul (rhs windows for both rows built
+    side by side in the N dim) — half the dot-issue count for the same
+    FLOPs; the dw-combine rolls then run per half. Tests the r4
+    conclusion that the kernel is dot-serialization bound.
     """
-    if u8_in:
+    if u8_in and not u8_direct:
         a0_ref, ab_ref, rhs_ref, rows_ref, sem_ref = scratch
     else:
         a0_ref, rhs_ref, rows_ref, sem_ref = scratch
+        ab_ref = None
     tb = pl.program_id(0)
     j = pl.program_id(1)
     k = tb * n_j + j
@@ -109,25 +139,26 @@ def _stem_kernel(x_ref, lhs_ref, scale_ref, bias_ref, o_ref,
 
     dma(k % 2, tb, j).wait()
     slot = k % 2
-    if u8_in:
+    if u8_in and not u8_direct:
         # Mosaic has no unsigned->float cast; u8 -> i32 -> compute dtype
         # (values 0..255 are exact through every step)
         ab_ref[...] = a0_ref[slot].astype(jnp.int32).astype(ab_ref.dtype)
 
-    def compute_row(r):
-        """Conv row h = 2j + r for all t_blk frames -> rows_ref[r]."""
+    def build_window(r, col0):
+        """rhs window for conv row h = 2j + r at N columns [col0, col0 +
+        nlanes) — one (K_DIM, w_v) copy per frame, cast fused if direct."""
         for u in range(t_blk):
-            if u8_in:
+            if u8_in and not u8_direct:
                 v = ab_ref[u:u + 5, r:r + 3, :, :w_v]      # (5, 3, 32, w_v)
             else:
                 v = a0_ref[slot, u:u + 5, r:r + 3, :, :w_v]
-            rhs_ref[:, w_v * u:w_v * (u + 1)] = v.reshape(K_DIM, w_v)
-        d = jax.lax.dot_general(
-            lhs_ref[...], rhs_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            # explicit: a global jax_default_matmul_precision=highest would
-            # otherwise request a multi-pass bf16 emulation Mosaic rejects
-            precision=jax.lax.Precision.DEFAULT)           # (192, nlanes)
+                if u8_in:
+                    v = v.astype(jnp.int32).astype(rhs_ref.dtype)
+            rhs_ref[:, col0 + w_v * u:col0 + w_v * (u + 1)] = (
+                v.reshape(K_DIM, w_v))
+
+    def finish_row(d, r):
+        """(192, nlanes) f32 dot slab -> BN+ReLU'd conv row rows_ref[r]."""
         # combine the 3 dw taps: y[w] = d0[w] + d1[w+1] + d2[w+2]. The
         # rolls cross frame boundaries at lanes w_v-1/w_v-2 of each frame —
         # those are invalid conv outputs (w' <= w_v-3) no consumer reads.
@@ -137,6 +168,19 @@ def _stem_kernel(x_ref, lhs_ref, scale_ref, bias_ref, o_ref,
         y = jnp.maximum(y * scale_ref[...] + bias_ref[...], 0.0)
         rows_ref[r] = y.astype(rows_ref.dtype)
 
+    def dot_cols(n_cols):
+        return jax.lax.dot_general(
+            lhs_ref[...], rhs_ref[:, :n_cols], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            # explicit: a global jax_default_matmul_precision=highest would
+            # otherwise request a multi-pass bf16 emulation Mosaic rejects
+            precision=jax.lax.Precision.DEFAULT)
+
+    def compute_row(r):
+        """Conv row h = 2j + r for all t_blk frames -> rows_ref[r]."""
+        build_window(r, 0)
+        finish_row(dot_cols(nlanes), r)
+
     # pool row j needs conv rows {2j, 2j+1, 2j+2}; 2j is carried from the
     # previous cell except at j == 0 (h_rows guard: tail grids where the
     # last pool row would read past the valid conv rows never occur for
@@ -145,8 +189,15 @@ def _stem_kernel(x_ref, lhs_ref, scale_ref, bias_ref, o_ref,
     def _():
         compute_row(0)
 
-    compute_row(1)
-    compute_row(2)
+    if pair_dot:
+        build_window(1, 0)
+        build_window(2, nlanes)
+        d2 = dot_cols(2 * nlanes)                          # (192, 2*nlanes)
+        finish_row(d2[:, :nlanes], 1)
+        finish_row(d2[:, nlanes:], 2)
+    else:
+        compute_row(1)
+        compute_row(2)
     del h_rows
 
     m = jnp.maximum(rows_ref[0], jnp.maximum(rows_ref[1], rows_ref[2]))
@@ -357,7 +408,8 @@ def stem_mgrid(frames, lhs, scale, bias, interpret: bool = False):
 
 
 def stem_mgrid_x(x, lhs, scale, bias, w_valid: int = 160,
-                 interpret: bool = False, impl: str | None = None):
+                 interpret: bool = False, impl: str | None = None,
+                 pair_dot: bool | None = None):
     """Pre-repacked entry: x (T4, H3, 32, SLOT) as produced by s2d_lanes /
     ops.video.mask_frames_s2d (which fuses the repack into the masking
     pass) -> m-grid (t_out, J, 64, SLOT).
@@ -367,8 +419,11 @@ def stem_mgrid_x(x, lhs, scale, bias, w_valid: int = 160,
     impl: 'window' (full rhs window rebuilt per conv row; the default —
     measured fastest on chip) | 'band' (rotating-band rhs, 3x less window
     build traffic but ~8% slower measured; kept as the documented
-    alternative decomposition — see _stem_kernel_band)."""
+    alternative decomposition — see _stem_kernel_band).
+    pair_dot: one dot for both new conv rows (see _stem_kernel);
+    None -> module default STEM_PAIR_DOT."""
     impl = impl or STEM_IMPL
+    pair_dot = STEM_PAIR_DOT if pair_dot is None else pair_dot
     t_out = x.shape[0] - 4
     h_in = x.shape[1]                       # conv-domain h rows available
     kh = 3                                  # block-space kernel extent
@@ -399,12 +454,14 @@ def stem_mgrid_x(x, lhs, scale, bias, w_valid: int = 160,
         ]
     else:
         kernel = functools.partial(_stem_kernel, n_tb=n_tb, n_j=n_j,
-                                   h_rows=h_rows, w_v=w_valid, t_blk=t_blk)
+                                   h_rows=h_rows, w_v=w_valid, t_blk=t_blk,
+                                   pair_dot=pair_dot)
         lhs_op = lhs.astype(x.dtype)
         lhs_spec = pl.BlockSpec((M_DW, K_DIM), lambda tb, j: (0, 0))
         scratch = [
             pltpu.VMEM((2, t_blk + 4, 5, C_PAD, SLOT), x.dtype),
-            pltpu.VMEM((K_DIM, t_blk * w_valid), x.dtype),
+            pltpu.VMEM((K_DIM, (2 if pair_dot else 1) * t_blk * w_valid),
+                       x.dtype),
             pltpu.VMEM((3, 64, t_blk * w_valid), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
@@ -431,7 +488,9 @@ def stem_mgrid_x(x, lhs, scale, bias, w_valid: int = 160,
 
 
 def stem_mgrid_planar(xp, lhs, scale, bias, dtype=jnp.bfloat16,
-                      interpret: bool = False, impl: str | None = None):
+                      interpret: bool = False, impl: str | None = None,
+                      u8_direct: bool | None = None,
+                      pair_dot: bool | None = None):
     """m-grid from HOST-repacked uint8 planar input — the production entry.
 
     xp: (T4, H3, 27, w_v) uint8 as emitted by host.media.s2d_repack
@@ -447,6 +506,8 @@ def stem_mgrid_planar(xp, lhs, scale, bias, dtype=jnp.bfloat16,
     VPU work on convert outside the kernel. -> (t_out, J, 64, SLOT).
     """
     impl = impl or STEM_IMPL
+    u8_direct = STEM_U8_DIRECT if u8_direct is None else u8_direct
+    pair_dot = STEM_PAIR_DOT if pair_dot is None else pair_dot
     assert xp.dtype == jnp.uint8 and xp.shape[2] <= C_PAD, xp.shape
     t_out = xp.shape[0] - 4
     h_in = xp.shape[1]
@@ -478,13 +539,16 @@ def stem_mgrid_planar(xp, lhs, scale, bias, dtype=jnp.bfloat16,
     else:
         kernel = functools.partial(_stem_kernel, n_tb=n_tb, n_j=n_j,
                                    h_rows=h_rows, w_v=w_v, t_blk=t_blk,
-                                   u8_in=True)
+                                   u8_in=True, u8_direct=u8_direct,
+                                   pair_dot=pair_dot)
         lhs_op = lhs
         lhs_spec = pl.BlockSpec((M_DW, K_DIM), lambda tb, j: (0, 0))
         scratch = [
             pltpu.VMEM((2, t_blk + 4, 5, C_PAD, SLOT), jnp.uint8),
-            pltpu.VMEM((t_blk + 4, 5, C_PAD, SLOT), dtype),
-            pltpu.VMEM((K_DIM, t_blk * w_v), dtype),
+            *([] if u8_direct else
+              [pltpu.VMEM((t_blk + 4, 5, C_PAD, SLOT), dtype)]),
+            pltpu.VMEM((K_DIM, (2 if pair_dot else 1) * t_blk * w_v),
+                       dtype),
             pltpu.VMEM((3, 64, t_blk * w_v), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]

@@ -207,3 +207,39 @@ def test_band_kernel_matches_window_kernel(params, rng):
                                         impl="band"))
     np.testing.assert_allclose(pa[..., :8], pb[..., :8],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_u8direct_and_pairdot_match_window_kernel(params, rng):
+    """The r5 window-kernel variants — u8_direct (rhs windows built
+    straight from the u8 block, cast fused into the copy) and pair_dot
+    (both new conv rows in one 2*nlanes-wide matmul) — must match the
+    default window kernel exactly (same dot K-order; f32 pins to 1e-5),
+    on both the float entry (pair_dot) and the u8-planar entry (each flag
+    alone and combined), across tb transitions."""
+    from jegal_tpu.host import media
+
+    blk = params["net_vid"][0]
+    lhs, scale, bias = S.stem_kernel_params(blk)
+    for (t4, h, w) in [(24, 33, 24), (13, 45, 48)]:
+        frames = jnp.asarray(rng.random((t4, h, w, 3)), jnp.float32)
+        x = S.s2d_lanes(frames)
+        w_v = w // 3
+        a = np.asarray(S.stem_mgrid_x(x, lhs, scale, bias, w_valid=w_v,
+                                      interpret=True, pair_dot=False))
+        b = np.asarray(S.stem_mgrid_x(x, lhs, scale, bias, w_valid=w_v,
+                                      interpret=True, pair_dot=True))
+        np.testing.assert_allclose(a[..., :w_v], b[..., :w_v],
+                                   rtol=1e-5, atol=1e-5)
+
+    fr_u8 = rng.integers(0, 255, (12, 27, 24, 3)).astype(np.uint8)
+    planar = jnp.asarray(media.s2d_repack(fr_u8, None))
+    base = np.asarray(S.stem_mgrid_planar(planar, lhs, scale, bias,
+                                          dtype=jnp.float32, interpret=True,
+                                          u8_direct=False, pair_dot=False))
+    for u8d, pd in [(True, False), (False, True), (True, True)]:
+        v = np.asarray(S.stem_mgrid_planar(planar, lhs, scale, bias,
+                                           dtype=jnp.float32,
+                                           interpret=True,
+                                           u8_direct=u8d, pair_dot=pd))
+        np.testing.assert_allclose(v[..., :8], base[..., :8],
+                                   rtol=1e-5, atol=1e-5)
