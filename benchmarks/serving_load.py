@@ -25,11 +25,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def _payloads(rng, combos, n, t_frames=0, poison_every=0):
     """One (combo, meta, arrays) request per i, cycling combos.
 
-    poison_every > 0: every Nth request is INVALID under reference
-    semantics (word_boundaries that don't tokenize against the text) —
-    it lands in the same cross-request batches as its healthy batchmates,
-    the engine maps it to a None result, and the server must answer it
-    4xx while the batchmates still get 200 (poison-batch isolation)."""
+    poison_every > 0: every Nth request is INVALID — for combos with
+    text, invalid under REFERENCE semantics (word_boundaries whose word
+    count mismatches the text: these pass wire validation, land in the
+    same cross-request batches as healthy batchmates, and the engine maps
+    them to a None result -> 422); for audio-only combos, malformed
+    boundaries (start > end -> engine ClientError -> 400 at validation).
+    Either way the server must answer poison 4xx while batchmates still
+    get 200 (poison-batch isolation). Pick poison_every coprime with
+    len(combos) so poisons cycle every combo."""
     out = []
     for i in range(n):
         combo = combos[i % len(combos)]
@@ -46,11 +50,20 @@ def _payloads(rng, combos, n, t_frames=0, poison_every=0):
         if "v" in combo:
             arrays["frames"] = rng.integers(
                 0, 255, (t_frames, 270, 480, 3)).astype(np.uint8)
-        poison = poison_every and i % poison_every == poison_every - 1
-        if poison and "t" in combo:
+        poison = bool(poison_every and i % poison_every == poison_every - 1)
+        if poison:
             meta["fname"] = f"poison{i}"
-            meta["word_boundaries"] = [["zzz", 2, 7]]  # mismatch vs text
-        out.append((combo, meta, arrays, bool(poison and "t" in combo)))
+            if "t" in combo and "a" in combo:
+                # one boundary word vs three text words: the reference
+                # fails loudly on the word-count mismatch (models/
+                # jegal.py:407-408); the engine rejects the sample -> 422
+                # AFTER it already sits in a batch with healthy requests
+                meta["word_boundaries"] = [["zzz", 2, 7]]
+            elif "t" in combo:
+                meta["text"] = " "        # empty text -> ClientError 400
+            else:
+                meta["word_boundaries"] = [["x", 50, 10]]  # start > end
+        out.append((combo, meta, arrays, poison))
     return out
 
 
@@ -193,7 +206,7 @@ def main():
                          combos=("ta", "t", "a"), binary=binary)
         print(json.dumps({"load": "content-combos", **stats}), flush=True)
     stats = run_load(engine, n_requests=48, concurrency=8,
-                     combos=("ta", "t", "a"), binary=True, poison_every=6)
+                     combos=("ta", "t", "a"), binary=True, poison_every=7)
     print(json.dumps({"load": "content-combos+poison", **stats}),
           flush=True)
     stats = run_load(engine, n_requests=8, concurrency=4, combos=("vta",),

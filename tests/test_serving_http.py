@@ -559,3 +559,13 @@ def test_mixed_combo_load_p50_p99():
                      max_batch=4, binary=True)
     assert stats["ok"] == 12 and stats["errors"] == 0
     assert stats["p99_ms"] >= stats["p50_ms"] > 0
+
+    # poison mode: every poison (reference-invalid word mismatch for t/ta
+    # batchmates, malformed boundaries for a) answers 4xx; zero healthy
+    # errors. poison_every=7 is coprime with the 3-combo cycle, so
+    # poisons cover every combo.
+    stats = run_load(engine, n_requests=14, concurrency=6,
+                     combos=("ta", "t", "a"), batch_window_ms=20,
+                     max_batch=4, binary=True, poison_every=7, warm=False)
+    assert stats["errors"] == 0, stats
+    assert stats["poison"]["n"] == 2 and stats["poison"]["all_4xx"], stats
