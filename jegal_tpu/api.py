@@ -1115,13 +1115,44 @@ class JegalEngine:
         graph instead of the two-stage forward — batch==1 without a mesh
         warms the single-clip fused graph (serving without a batcher /
         CLI infer), otherwise the batched fused graph (extract_many /
-        serving batcher)."""
+        serving batcher).
+
+        Array PLACEMENT here must mirror the live paths exactly: jit
+        executables are keyed on committed-ness as well as shape/dtype, so
+        a warmup that passes committed jnp arrays where live traffic passes
+        host numpy (single-sample prep is host numpy end-to-end since the
+        eager-op-storm fix) warms a graph no request ever hits and the
+        first live request still pays the compile. Single-sample graphs
+        therefore take HOST numpy (matching _prepare_sample /
+        _extract_fused); batched graphs go through put_batch (matching
+        _stack_parts / _extract_many_fused), which commits to device with
+        or without a mesh."""
+        from jegal_tpu.parallel.mesh import put_batch
+
         use_v = "v" in modalities
         use_t = "t" in modalities
         use_a = "a" in modalities
         if mesh is not None:
             d = mesh.shape.get("data", 1)
             batch = ((batch + d - 1) // d) * d
+        batched = batch > 1 or mesh is not None
+
+        def content_arrays():
+            arrays: dict = {}
+            if use_t:
+                ids = np.full((batch, s), 1, np.int32)
+                ids[:, 0] = 0
+                arrays["input_ids"] = ids
+                arrays["text_mask"] = (ids != 1).astype(np.float32)
+                arrays["text_pool"] = np.zeros((batch, w, s), self._np_dtype)
+            if use_a:
+                arrays["audio_mel"] = np.zeros((batch, mel, 80),
+                                               self._np_dtype)
+                arrays["audio_pool"] = np.zeros((batch, w, mel // 4),
+                                                self._np_dtype)
+                arrays["audio_valid"] = np.full((batch,), mel, np.int32)
+            return arrays
+
         if frames_kind is not None:
             if not use_v:
                 raise ValueError("frames_kind requires a 'v' combo")
@@ -1129,65 +1160,35 @@ class JegalEngine:
 
             shape = ((90, 27, 160) if frames_kind == "planar"
                      else (270, 480, 3))
-            single = batch == 1 and mesh is None
-            arrays = {}
-            if use_t:
-                ids = np.full((batch, s), 1, np.int32)
-                ids[:, 0] = 0
-                arrays["input_ids"] = jnp.asarray(ids)
-                arrays["text_mask"] = jnp.asarray(
-                    (ids != 1).astype(np.float32))
-                arrays["text_pool"] = jnp.zeros((batch, w, s), self.dtype)
-            if use_a:
-                arrays["audio_mel"] = jnp.zeros((batch, mel, 80), self.dtype)
-                arrays["audio_pool"] = jnp.zeros((batch, w, mel // 4),
-                                                 self.dtype)
-                arrays["audio_valid"] = jnp.full((batch,), mel, jnp.int32)
-            if single:
-                frames = jnp.zeros((t,) + shape, jnp.uint8)
+            arrays = content_arrays()
+            if not batched:
+                frames = np.zeros((t,) + shape, np.uint8)
                 cut = (None if frames_kind == "planar"
-                       else jnp.full((t,), FALLBACK_ROWS, jnp.int32))
-                vmask = jnp.ones((1, t), jnp.float32)
+                       else np.full((t,), FALLBACK_ROWS, np.int32))
+                vmask = np.ones((1, t), np.float32)
             else:
                 frames = np.zeros((batch, t) + shape, np.uint8)
                 cut = np.full((batch, t), FALLBACK_ROWS, np.int32)
                 vmask = np.ones((batch, t), np.float32)
-                if mesh is not None:
-                    from jegal_tpu.parallel.mesh import put_batch
-
-                    frames, cut, vmask = put_batch((frames, cut, vmask),
-                                                   mesh)
-                    arrays = dict(zip(arrays, put_batch(
-                        [np.asarray(v) for v in arrays.values()], mesh)))
+                frames, cut, vmask = put_batch((frames, cut, vmask), mesh)
+                arrays = dict(zip(arrays,
+                                  put_batch(list(arrays.values()), mesh)))
             key = self._fused_key(frames_kind, use_t, use_a,
-                                  batched=not single, mesh=mesh)
-            self._account_graph(key, dict(arrays, frames=jnp.asarray(frames)))
+                                  batched=batched, mesh=mesh)
+            self._account_graph(key, dict(arrays, frames=frames))
             out = self._combo_cache[key](
                 self.gestsync_params, self.jegal_params,
                 self.roberta_params, frames, cut, vmask, **arrays)
             for leaf in jax.tree.leaves(out):
                 np.asarray(leaf).ravel()[:1]  # force compile + execute
             return
-        arrays: dict = {}
+        arrays = content_arrays()
         if use_v:
-            arrays["visual_feats"] = jnp.zeros((batch, t, 1024), self.dtype)
-            arrays["visual_mask"] = jnp.ones((batch, t), jnp.float32)
-        if use_t:
-            ids = np.full((batch, s), 1, np.int32)
-            ids[:, 0] = 0
-            arrays["input_ids"] = jnp.asarray(ids)
-            arrays["text_mask"] = jnp.asarray((ids != 1).astype(np.float32))
-            arrays["text_pool"] = jnp.zeros((batch, w, s), self.dtype)
-        if use_a:
-            arrays["audio_mel"] = jnp.zeros((batch, mel, 80), self.dtype)
-            arrays["audio_pool"] = jnp.zeros((batch, w, mel // 4), self.dtype)
-            arrays["audio_valid"] = jnp.full((batch,), mel, jnp.int32)
-        if mesh is not None:
-            from jegal_tpu.parallel.mesh import put_batch
-
-            arrays = dict(zip(arrays,
-                              put_batch([np.asarray(v)
-                                         for v in arrays.values()], mesh)))
+            arrays["visual_feats"] = np.zeros((batch, t, 1024),
+                                              self._np_dtype)
+            arrays["visual_mask"] = np.ones((batch, t), np.float32)
+        if batched:
+            arrays = dict(zip(arrays, put_batch(list(arrays.values()), mesh)))
         out = self._forward((use_v, use_t, use_a), arrays)
         for leaf in jax.tree.leaves(out):
             np.asarray(leaf).ravel()[:1]  # force compile + execute

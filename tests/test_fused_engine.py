@@ -255,3 +255,45 @@ def test_warmup_frames_kind(engine):
     assert any(k[1] == "planar" and k[4] is True for k in keys)
     with pytest.raises(ValueError):
         engine.warmup(modalities="ta", frames_kind="raw")
+
+
+def test_warmup_matches_live_fused_signatures(engine, rng):
+    """warmup must warm the EXACT signature live traffic uses: jit
+    executables key on device committed-ness as well as shape/dtype, so a
+    warmup built from committed jnp arrays where live requests pass host
+    numpy (single-sample prep is host numpy since the eager-op-storm fix)
+    compiles a graph no request ever hits — the first live request then
+    pays the compile the warmup existed to absorb."""
+    from jegal_tpu.data.bucketing import T_BUCKETS, next_bucket
+
+    fr, chin = _clip(rng)
+    t_b = next_bucket(fr.shape[0], T_BUCKETS)
+    # single-clip fused graph: live = host numpy frames (CLI infer/serving)
+    engine.warmup(modalities="v", t=t_b, frames_kind="raw")
+    key = engine._fused_key("raw", False, False, batched=False)
+    before = engine._combo_cache[key]._cache_size()
+    assert engine.extract(modalities="v", frames=fr,
+                          chin_rows=chin) is not None
+    assert engine._combo_cache[key]._cache_size() == before
+    # batched fused graph: live = put_batch-committed device arrays
+    engine.warmup(modalities="v", t=t_b, frames_kind="raw", batch=2)
+    bkey = engine._fused_key("raw", False, False, batched=True)
+    before = engine._combo_cache[bkey]._cache_size()
+    outs = engine.extract_many(
+        [dict(frames=fr, chin_rows=chin), dict(frames=fr, chin_rows=chin)],
+        modalities="v", batch_size=2)
+    assert all(o is not None for o in outs)
+    assert engine._combo_cache[bkey]._cache_size() == before
+
+
+def test_warmup_matches_live_two_stage_batched(engine, rng):
+    """Batched two-stage warmup must match extract_many's _stack_parts
+    placement (put_batch-committed) for host-prepared samples."""
+    engine.warmup(modalities="v", t=32, batch=2)
+    key = (True, False, False)
+    before = engine._combo_cache[key]._cache_size()
+    feats = rng.standard_normal((14, 1024)).astype(np.float32)
+    outs = engine.extract_many([dict(visual_feats=feats)] * 2,
+                               modalities="v", batch_size=2)
+    assert all(o is not None for o in outs)
+    assert engine._combo_cache[key]._cache_size() == before
