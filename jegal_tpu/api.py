@@ -125,6 +125,13 @@ class JegalEngine:
             # of ~100 eager ops (each a compile on first use)
             self.roberta_params = jax.jit(R.stack_layers)(self.roberta_params)
         self._combo_cache: dict = {}
+        # HF fast tokenizers hold a Rust RefCell: concurrent encode_words
+        # from extract_many's prep pool raises "Already borrowed" — all
+        # tokenizer calls serialize on this lock (the mel FFT / pooling
+        # build, the bulk of prep, still run in parallel)
+        import threading
+
+        self._tok_lock = threading.Lock()
         self._gestsync_fn = None
         self._gestsync_raw_fn = None
         self._gestsync_batch_fn = None
@@ -401,11 +408,11 @@ class JegalEngine:
             use_v, use_t, use_a = combo_key[:3]
 
             def fn(jp, rp, **kw):
-                return J.forward_inference(
+                return self._pack_emb(*J.forward_inference(
                     jp, rp, use_v=use_v, use_t=use_t, use_a=use_a,
                     roberta_cfg=self.roberta_cfg,
                     fusion_strategy=self.fusion_strategy, **kw,
-                )
+                ))
 
             self._combo_cache[combo_key] = jax.jit(fn)
         self._account_graph(combo_key, arrays)
@@ -512,11 +519,11 @@ class JegalEngine:
                 feats = tower(gp, frames, cut)
             else:
                 feats = tower_single(gp, frames, cut)[None]
-            return J.forward_inference(
+            return self._pack_emb(*J.forward_inference(
                 jp, rp, use_v=True, use_t=use_t, use_a=use_a,
                 visual_feats=feats, visual_mask=visual_mask,
                 roberta_cfg=self.roberta_cfg,
-                fusion_strategy=self.fusion_strategy, **kw)
+                fusion_strategy=self.fusion_strategy, **kw))
 
         self._combo_cache[key] = jax.jit(fn)
         return key
@@ -579,10 +586,11 @@ class JegalEngine:
         vmask[0, :t] = 1.0
         key = self._fused_key(kind, use_t, use_a, batched=False)
         self._account_graph(key, dict(arrays, frames=frames))
-        gesture, content = self._combo_cache[key](
+        packed = self._fetch(self._combo_cache[key](
             self.gestsync_params, self.jegal_params, self.roberta_params,
-            frames, cut, vmask, **arrays)
-        gesture, content = self._fetch(gesture, content)
+            frames, cut, vmask, **arrays))
+        gesture, content = self._unpack_emb(packed, t_bucket, True,
+                                            use_t or use_a)
         return self._postprocess(gesture, content, 0, t, w_true, text,
                                  word_boundaries, fname)
 
@@ -600,7 +608,8 @@ class JegalEngine:
         per chunk instead (VERDICT r4 weak 2)."""
         if self.tokenizer is None:
             raise RuntimeError("engine has no tokenizer (text modality)")
-        batch = self.tokenizer.encode_words([text])
+        with self._tok_lock:  # HF tokenizer is not thread-safe (see init)
+            batch = self.tokenizer.encode_words([text])
         s_nat = batch.input_ids.shape[1]
         starts = P.text_word_starts(batch.input_ids, batch.offsets, batch.special_ids)
         n_words = len(batch.words[0])
@@ -760,15 +769,42 @@ class JegalEngine:
         return arrays, t_true, w_true
 
     @staticmethod
-    def _fetch(gesture, content):
-        """ONE host fetch for a dispatched chunk's outputs (async per-array
-        copies, single sync) -> numpy. All per-sample slicing then happens
-        in numpy: slicing a jax.Array per sample (`x[i, :n]`) compiles and
-        dispatches one tiny XLA graph per distinct (i, n) — 240 compiles /
-        229 s of a 48-row corpus run in the r4 profile (VERDICT r4 weak 2a).
-        Fetches in the DEVICE dtype (bf16 engines move half the bytes);
-        _postprocess converts to the f32 .pkl contract on host."""
-        return jax.device_get((gesture, content))
+    def _pack_emb(gesture, content):
+        """IN-GRAPH: pack forward_inference's (gesture, content) pair into
+        ONE array along the row axis so a chunk's results come back in a
+        single device->host RPC. Every fetch pays the platform's per-call
+        sync floor on top of bytes (BENCH platform_sync_floor_ms; two
+        fetches per chunk were ~55% of the warm corpus wall in the r5
+        profile) — the concat is a ~2 MB on-device copy XLA folds into the
+        producers. The host splits at the caller-known T bucket
+        (_unpack_emb); combos with one branch return that branch alone."""
+        if gesture is None:
+            return content
+        if content is None:
+            return gesture
+        return jnp.concatenate([gesture, content], axis=1)
+
+    @staticmethod
+    def _unpack_emb(packed, t_split, has_gesture, has_content):
+        """Host-side inverse of _pack_emb on the fetched numpy array:
+        gesture rows are the first t_split (= the combo's T bucket)."""
+        if not has_content:
+            return packed, None
+        if not has_gesture:
+            return None, packed
+        return packed[:, :t_split], packed[:, t_split:]
+
+    @staticmethod
+    def _fetch(packed):
+        """ONE host fetch (single RPC, single sync) for a dispatched
+        chunk's packed outputs -> numpy. All per-sample slicing then
+        happens in numpy: slicing a jax.Array per sample (`x[i, :n]`)
+        compiles and dispatches one tiny XLA graph per distinct (i, n) —
+        240 compiles / 229 s of a 48-row corpus run in the r4 profile
+        (VERDICT r4 weak 2a). Fetches in the DEVICE dtype (bf16 engines
+        move half the bytes); _postprocess converts to the f32 .pkl
+        contract on host."""
+        return jax.device_get(packed)
 
     @staticmethod
     def _postprocess(gesture, content, i, t_true, w_true, text,
@@ -831,8 +867,10 @@ class JegalEngine:
             return None
         arrays, t_true, w_true = prep
         use = ("v" in modalities, "t" in modalities, "a" in modalities)
-        gesture, content = self._forward(use, arrays)
-        gesture, content = self._fetch(gesture, content)
+        packed = self._fetch(self._forward(use, arrays))
+        gesture, content = self._unpack_emb(
+            packed, arrays["visual_feats"].shape[1] if use[0] else None,
+            use[0], use[1] or use[2])
         return self._postprocess(gesture, content, 0, t_true, w_true, text,
                                  word_boundaries, fname)
 
@@ -937,36 +975,30 @@ class JegalEngine:
             # server misconfiguration, not a bad sample: fail loudly
             raise RuntimeError("engine has no GestSync parameters")
         fused: dict[int, tuple] = {}
-        if use[0] and self.gestsync_params is not None:
-            for i, s in enumerate(samples):
-                if s.get("visual_feats") is not None \
-                        or s.get("frames") is None:
-                    continue
-                try:
-                    frames = s["frames"]
-                    if not isinstance(frames, jax.Array):
-                        frames = np.asarray(frames)
-                    kind = self._frames_kind(frames)
-                    chin = s.get("chin_rows")
-                    if kind == "planar" and chin is not None:
-                        raise ClientError("planar input is already masked; "
-                                          "chin_rows must be None")
-                    prep = self._prepare_sample(
-                        modalities.replace("v", ""), None, s.get("text"),
-                        s.get("word_boundaries"), s.get("wav"))
-                except ClientError:
-                    prep = None  # ledgered as a None result (batch contract)
-                fused[i] = (None if prep is None
-                            else (kind, frames, chin, prep[0], prep[2]))
-        if fused:
-            self._extract_many_fused(samples, fused, use, results,
-                                     batch_size, mesh, ladder)
+        is_fused = [use[0] and self.gestsync_params is not None
+                    and s.get("visual_feats") is None
+                    and s.get("frames") is not None
+                    for s in samples]
 
-        # --- two-stage path: precomputed (possibly device-resident) feats ---
-        prepared = {}
-        for i, s in enumerate(samples):
-            if i in fused:
-                continue
+        def prep_fused(s):
+            try:
+                frames = s["frames"]
+                if not isinstance(frames, jax.Array):
+                    frames = np.asarray(frames)
+                kind = self._frames_kind(frames)
+                chin = s.get("chin_rows")
+                if kind == "planar" and chin is not None:
+                    raise ClientError("planar input is already masked; "
+                                      "chin_rows must be None")
+                prep = self._prepare_sample(
+                    modalities.replace("v", ""), None, s.get("text"),
+                    s.get("word_boundaries"), s.get("wav"))
+            except ClientError:
+                return None  # ledgered as a None result (batch contract)
+            return (None if prep is None
+                    else (kind, frames, chin, prep[0], prep[2]))
+
+        def prep_two_stage(s):
             try:
                 # same input contract as single-sample extract(): frames
                 # with a non-'v' combo, frames+visual_feats together, or
@@ -981,7 +1013,7 @@ class JegalEngine:
                         "pass either frames or visual_feats, not both")
                 if s.get("chin_rows") is not None:
                     raise ClientError("chin_rows requires frames")
-                prep = self._prepare_sample(
+                return self._prepare_sample(
                     modalities, s.get("visual_feats"), s.get("text"),
                     s.get("word_boundaries"), s.get("wav"))
             except ClientError:
@@ -989,8 +1021,27 @@ class JegalEngine:
                 # result (ledgered by the CLI drivers), never fails the
                 # corpus run; single-sample extract() keeps raising so
                 # serving can answer 400
-                prep = None
-            prepared[i] = prep
+                return None
+
+        # per-sample host prep in a thread pool: the mel FFT and the
+        # pooling/BLAS work release the GIL, so 4 workers cut the serial
+        # prep wall ~2-3x on big chunks (prep was ~25% of the warm corpus
+        # wall in the r5 profile); order is preserved by executor.map
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            preps = list(pool.map(
+                lambda t: prep_fused(t[1]) if is_fused[t[0]]
+                else prep_two_stage(t[1]), enumerate(samples)))
+        prepared = {}
+        for i, prep in enumerate(preps):
+            if is_fused[i]:
+                fused[i] = prep
+            else:
+                prepared[i] = prep
+        if fused:
+            self._extract_many_fused(samples, fused, use, results,
+                                     batch_size, mesh, ladder)
 
         # group compatible shapes
         groups: dict = {}
@@ -1001,9 +1052,13 @@ class JegalEngine:
                                for k, v in prep[0].items()))
             groups.setdefault(sig, []).append(idx)
 
-        def settle(chunk, gesture, content):
-            """ONE fetch + numpy postprocess per dispatched chunk."""
-            gesture, content = self._fetch(gesture, content)
+        def settle(chunk, packed):
+            """ONE fetch (single RPC) + numpy postprocess per chunk."""
+            packed = self._fetch(packed)
+            t_split = (prepared[chunk[0]][0]["visual_feats"].shape[1]
+                       if use[0] else None)
+            gesture, content = self._unpack_emb(packed, t_split, use[0],
+                                                use[1] or use[2])
             for bi, i in enumerate(chunk):
                 _, t_true, w_true = prepared[i]
                 s = samples[i]
@@ -1025,7 +1080,7 @@ class JegalEngine:
                             [prepared[i][0][kname][0] for i in chunk], b,
                             mesh)
                         for kname in keys}
-                    yield (chunk, *self._forward(use, arrays))
+                    yield (chunk, self._forward(use, arrays))
 
         self._pipeline(dispatches(), settle, self._chunk_fnames(samples))
         return results
@@ -1048,8 +1103,10 @@ class JegalEngine:
                                 for k, v in arrays.items())))
             fgroups.setdefault(sig, []).append(i)
 
-        def settle(chunk, gesture, content):
-            gesture, content = self._fetch(gesture, content)
+        def settle(chunk, t_bucket, packed):
+            packed = self._fetch(packed)
+            gesture, content = self._unpack_emb(packed, t_bucket, True,
+                                                use[1] or use[2])
             for bi, i in enumerate(chunk):
                 _, frames, _, _, w_true = fused[i]
                 s = samples[i]
@@ -1091,7 +1148,7 @@ class JegalEngine:
                     key = self._fused_key(kind, use[1], use[2], batched=True,
                                           mesh=mesh)
                     self._account_graph(key, dict(arrays, frames=frj))
-                    yield (chunk, *self._combo_cache[key](
+                    yield (chunk, t_bucket, self._combo_cache[key](
                         self.gestsync_params, self.jegal_params,
                         self.roberta_params, frj, cutj, vmaskj, **arrays))
 
