@@ -90,7 +90,11 @@ def test_shared_conv_equals_per_window(rng):
     wins = jnp.stack([frames[i : i + G.WINDOW] for i in range(t)])  # (t,25,H,W,3)
     slow = np.asarray(G.forward_vid_windowed(params, wins).mean(axis=-1))
 
-    np.testing.assert_allclose(fast, slow, rtol=2e-4, atol=2e-4)
+    # TPU fp32 ('highest') accumulates in a different order than XLA:CPU
+    # fp32 — two equally-valid reductions of the same conv tower land
+    # within ~1.5e-3 of each other on chip (JEGAL_TEST_TPU=1 run)
+    tol = 2e-4 if jax.default_backend() == "cpu" else 4e-3
+    np.testing.assert_allclose(fast, slow, rtol=tol, atol=tol)
 
 
 @pytest.mark.slow
@@ -109,7 +113,8 @@ def test_batched_features_equal_per_video(rng):
     assert batched.shape == (2, t, 1024)
     for b in range(2):
         single = np.asarray(G.extract_features(params, frames[b], chunk=8))
-        np.testing.assert_allclose(batched[b], single, rtol=1e-5, atol=1e-5)
+        tol = 1e-5 if jax.default_backend() == "cpu" else 4e-3
+        np.testing.assert_allclose(batched[b], single, rtol=tol, atol=tol)
 
 
 def test_window_head_shapes(rng):
