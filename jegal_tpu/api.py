@@ -110,7 +110,17 @@ class JegalEngine:
                     # — per-leaf eager astype compiles one tiny graph per
                     # distinct shape (~60 s of engine construction in the r4
                     # corpus profile, VERDICT r4 weak 2c)
-                    tree = jax.jit(lambda t: jax.tree.map(dev_leaf, t))(tree)
+                    try:
+                        tree = jax.jit(lambda t: jax.tree.map(dev_leaf, t))(tree)
+                    except ValueError:
+                        # leaves committed to incompatible device sets (e.g.
+                        # a mesh-sharded tree from trainer.shard_training
+                        # mixed with single-device leaves) cannot share one
+                        # jit — fall back to per-leaf casts, which preserve
+                        # each leaf's placement
+                        tree = jax.tree.map(
+                            lambda x: dev_leaf(x) if isinstance(x, jax.Array)
+                            else x, tree)
                 return tree
 
             self.jegal_params = cast(self.jegal_params)
@@ -624,7 +634,7 @@ class JegalEngine:
         return {
             "input_ids": np.asarray(ids, np.int32),
             "text_mask": np.asarray(mask, np.float32),
-            "text_pool": np.asarray(pool).astype(self._np_dtype),
+            "text_pool": np.asarray(pool).astype(self._np_dtype, copy=False),
         }, n_words
 
     def prepare_audio(self, wav: np.ndarray, word_boundaries):
@@ -650,8 +660,8 @@ class JegalEngine:
         mel = pad_axis(mel, 1, mel_bucket)
         pool = pad_axis(pool, 2, mel_bucket // 4)
         return {
-            "audio_mel": mel.astype(self._np_dtype),
-            "audio_pool": np.asarray(pool).astype(self._np_dtype),
+            "audio_mel": mel.astype(self._np_dtype, copy=False),
+            "audio_pool": np.asarray(pool).astype(self._np_dtype, copy=False),
             "audio_valid": np.asarray([t_mel], np.int32),
         }, n_words
 
@@ -676,7 +686,7 @@ class JegalEngine:
             if feats.dtype != self.dtype:
                 feats = feats.astype(self.dtype)
         else:
-            feats = np.asarray(feats).astype(self._np_dtype)
+            feats = np.asarray(feats).astype(self._np_dtype, copy=False)
         return {
             "visual_feats": feats,
             "visual_mask": mask,

@@ -143,3 +143,39 @@ def test_engine_planar_paths_bf16_on_chip():
         s = np.asarray(eng.gestsync_features(clips[i][0]), np.float32)
         c = float((o * s).sum() / (np.linalg.norm(o) * np.linalg.norm(s)))
         assert o.shape == s.shape and c > 1 - 1e-4, (i, c)
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="needs a TPU backend")
+def test_u8_direct_bit_equal_on_chip():
+    """The production planar default (STEM_U8_DIRECT) fuses the u8 -> i32
+    -> bf16 cast into the rhs window copy; Mosaic compiles a different
+    copy/cast schedule than the two-pass block-cast form, but the dot
+    K-order is identical, so the outputs must be BIT-EQUAL on real
+    hardware — full array, both flags, real 270x480-derived geometry.
+    (Interpret-mode equality is locked in test_stem_pallas.py; this pins
+    the actual Mosaic codegen the flag flips — advisor r5 finding.)"""
+    from jegal_tpu.host import media
+    from jegal_tpu.ops.pallas import stem as S
+
+    rng = np.random.default_rng(3)
+    params = G.init_params(jax.random.PRNGKey(0))
+    blk = params["net_vid"][0]
+    lhs, scale, bias = S.stem_kernel_params(blk)
+    fr = rng.integers(0, 255, (29, 270, 480, 3)).astype(np.uint8)
+    chin = rng.integers(90, 140, (29,)).astype(np.int32)
+    planar = jnp.asarray(media.s2d_repack(fr, chin))
+
+    outs = {}
+    for u8d in (False, True):
+        outs[u8d] = np.asarray(jax.jit(
+            lambda p, flag=u8d: S.stem_mgrid_planar(
+                p, lhs, scale, bias, dtype=jnp.bfloat16, u8_direct=flag)
+        )(planar), np.float32)
+    assert outs[True].shape == outs[False].shape
+    # compare the VALID lanes only (xp's compact width, 160): lanes past
+    # w_valid are SLOT padding whose junk content legitimately differs
+    # between the two copy schedules and is never read downstream
+    w_v = planar.shape[-1]
+    np.testing.assert_array_equal(outs[True][..., :w_v],
+                                  outs[False][..., :w_v])
