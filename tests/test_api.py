@@ -310,3 +310,41 @@ def test_gestsync_front_door_dispatch(rng):
         eng.gestsync_features(padded, chin)  # pre-masked + chin = invalid
     with pytest.raises(ClientError):  # planar + chin = invalid too
         eng.gestsync_features(media.s2d_repack(fr, chin), chin)
+
+
+def test_bf16_engine_from_mixed_placement_params():
+    """Engine construction must survive a params tree whose leaves are
+    committed to incompatible device sets — e.g. JEGAL params sharded over
+    a mesh (straight out of trainer.shard_training) while GestSync params
+    are host numpy. The one-jit whole-tree cast cannot span such a tree;
+    the fallback casts per leaf, preserving each leaf's placement
+    (advisor r5 finding 1)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from jegal_tpu.api import JegalEngine
+    from jegal_tpu.models import jegal as J
+    from jegal_tpu.parallel.mesh import make_mesh
+
+    jparams = J.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh(8, model_parallel=2)
+    # commit leaves to DIFFERENT device subsets: replicated-over-mesh for
+    # one branch, single-device for another — one jit cannot take both
+    repl = NamedSharding(mesh, P())
+    d1 = jax.devices()[1]
+    mixed = dict(jparams)
+    k0 = sorted(jparams)[0]
+    k1 = sorted(jparams)[1]
+    mixed[k0] = jax.tree.map(lambda x: jax.device_put(x, repl), jparams[k0])
+    mixed[k1] = jax.tree.map(lambda x: jax.device_put(x, d1), jparams[k1])
+
+    eng = JegalEngine(jegal_params=mixed, dtype=jnp.bfloat16)
+    leaves = jax.tree.leaves(eng.jegal_params)
+    assert all(l.dtype == jnp.bfloat16 for l in leaves
+               if jnp.issubdtype(l.dtype, jnp.floating))
+    # placements preserved by the per-leaf fallback
+    for l in jax.tree.leaves(eng.jegal_params[k1]):
+        assert l.devices() == {d1}
+    out = eng.extract(modalities="v",
+                      visual_feats=np.ones((6, 1024), np.float32))
+    assert out["gesture_emb"].shape == (6, 512)
