@@ -133,7 +133,14 @@ class JegalEngine:
             # (serving warm-start) — see roberta.stack_layers. Jitted: the
             # stack/concat of ~100 leaves is one compiled dispatch instead
             # of ~100 eager ops (each a compile on first use)
-            self.roberta_params = jax.jit(R.stack_layers)(self.roberta_params)
+            try:
+                self.roberta_params = jax.jit(R.stack_layers)(
+                    self.roberta_params)
+            except ValueError:
+                # leaves committed to incompatible device sets (same
+                # fallback contract as cast() above): eager per-op stacking
+                # preserves placements where one jit cannot span the tree
+                self.roberta_params = R.stack_layers(self.roberta_params)
         self._combo_cache: dict = {}
         # HF fast tokenizers hold a Rust RefCell: concurrent encode_words
         # from extract_many's prep pool raises "Already borrowed" — all
@@ -142,6 +149,7 @@ class JegalEngine:
         import threading
 
         self._tok_lock = threading.Lock()
+        self._prep_pool = None  # lazy shared prep executor (_prep_map)
         self._gestsync_fn = None
         self._gestsync_raw_fn = None
         self._gestsync_batch_fn = None
@@ -903,6 +911,21 @@ class JegalEngine:
         out, = put_batch((np.stack(parts),), mesh)
         return out
 
+    def _prep_map(self, fn, items):
+        """Order-preserving map over per-sample host prep. Small batches
+        (the serving batcher's ~20 ms windows) run inline — spawning and
+        joining a pool per call would cost more than it saves; larger
+        corpora share ONE lazily-created 4-worker pool for the engine's
+        lifetime (prep is host numpy; FFT/BLAS release the GIL)."""
+        if len(items) <= 4:
+            return [fn(t) for t in items]
+        if self._prep_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._prep_pool = ThreadPoolExecutor(
+                max_workers=4, thread_name_prefix="jegal-prep")
+        return list(self._prep_pool.map(fn, items))
+
     @staticmethod
     def _pipeline(dispatches, settle, chunk_label=None):
         """Depth-1 software pipeline: chunk k+1 is assembled, uploaded, and
@@ -1037,12 +1060,9 @@ class JegalEngine:
         # pooling/BLAS work release the GIL, so 4 workers cut the serial
         # prep wall ~2-3x on big chunks (prep was ~25% of the warm corpus
         # wall in the r5 profile); order is preserved by executor.map
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            preps = list(pool.map(
-                lambda t: prep_fused(t[1]) if is_fused[t[0]]
-                else prep_two_stage(t[1]), enumerate(samples)))
+        preps = self._prep_map(
+            lambda t: prep_fused(t[1]) if is_fused[t[0]]
+            else prep_two_stage(t[1]), list(enumerate(samples)))
         prepared = {}
         for i, prep in enumerate(preps):
             if is_fused[i]:

@@ -147,9 +147,13 @@ def extract_embeddings_csv(engine, csv_path: str, video_dir: str,
                 # groups by shape signature, so a wider window packs ragged
                 # rows (mixed s/w/mel buckets) into FULL same-sig chunks
                 # instead of straggler ladder chunks, and its depth-1
-                # pipeline gets more chunks to overlap. Memory stays small
-                # (8 batches of features, ~4 MB each at T=128).
-                if len(pending) >= batch_size * 8:
+                # pipeline gets more chunks to overlap. The window stages
+                # full payloads (~1 MB/row at T=128: feats + wav + pools),
+                # so it is capped at 256 rows regardless of batch_size —
+                # bounds both staged memory (~0.25-1 GB worst case at long
+                # T) and the rows a mid-run crash leaves unflushed for the
+                # idempotent-skip restart to redo.
+                if len(pending) >= min(batch_size * 8, 256):
                     flush()
         flush()
 

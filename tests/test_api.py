@@ -326,6 +326,8 @@ def test_bf16_engine_from_mixed_placement_params():
     from jegal_tpu.models import jegal as J
     from jegal_tpu.parallel.mesh import make_mesh
 
+    if len(jax.devices()) < 8:  # JEGAL_TEST_TPU=1 runs on the one real chip
+        pytest.skip("needs 8 devices")
     jparams = J.init_params(jax.random.PRNGKey(0))
     mesh = make_mesh(8, model_parallel=2)
     # commit leaves to DIFFERENT device subsets: replicated-over-mesh for
@@ -348,3 +350,34 @@ def test_bf16_engine_from_mixed_placement_params():
     out = eng.extract(modalities="v",
                       visual_feats=np.ones((6, 1024), np.float32))
     assert out["gesture_emb"].shape == (6, 512)
+
+
+def test_engine_from_mixed_placement_roberta(tiny_roberta):
+    """stack_layers at engine load must also survive a roberta tree whose
+    leaves are committed to incompatible device sets (the jit falls back
+    to eager per-op stacking — advisor r5 finding 2)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from jegal_tpu.api import JegalEngine
+    from jegal_tpu.models import jegal as J
+    from jegal_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    rparams, cfg = tiny_roberta
+    mesh = make_mesh(8, model_parallel=2)
+    repl = NamedSharding(mesh, P())
+    d1 = jax.devices()[1]
+    mixed = {
+        "embeddings": jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), repl),
+            rparams["embeddings"]),
+        "layers": [jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), d1), layer)
+            for layer in rparams["layers"]],
+    }
+    eng = JegalEngine(jegal_params=J.init_params(jax.random.PRNGKey(0)),
+                      roberta_params=mixed, roberta_cfg=cfg)
+    # stacked scan layout produced despite the mixed input placements
+    assert not isinstance(eng.roberta_params.get("layers"), (list, tuple))
